@@ -1,0 +1,140 @@
+package graft.canon
+
+import graft.schema.Entity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH-blocked entity canonicalization (SURVEY.md §4.3.2-3, §7.3).
+  *
+  * Reference analog: iterative smallest-topic -> nearest-topic merging
+  * (topic_modeling.py:129-151) and cluster canonicalization; re-expressed
+  * at scale as:
+  *
+  *   1. shingle: char-3-gram set over each entity's surface forms
+  *   2. MinHash signature: K independent permutations, where permutation k
+  *      ranks shingles by md5(k:shingle) and the signature value is the
+  *      MINIMUM digest string — pure column expressions, reproducible in
+  *      any engine that has md5 (the DuckDB oracle uses the identical
+  *      formula)
+  *   3. LSH banding: K/R bands of R rows; equal band -> candidate pair
+  *      (equi-join on band key — never a cross join)
+  *   4. verify: exact Jaccard over the shingle sets >= threshold
+  *   5. connected components -> canonical id = min entity_id in component
+  *
+  * Skew note (SURVEY.md §7.4.4): the band-key equi-join is the salting
+  * point at scale — a degenerate band bucket (e.g. all-empty docs) would
+  * hot-spot one reducer. Buckets here are bounded by construction
+  * (closed vocabulary); at 100 TB add `salt = pmod(hash(entity_id), S)`
+  * inside mega-buckets and merge partials, plus AQE skew-join splitting
+  * (enabled in session conf).
+  */
+object Canonicalize {
+
+  val NumHashes = 16
+  val BandRows = 2
+
+  /** (entity_id, surfaces array) -> exploded (entity_id, band) LSH keys. */
+  def bandKeys(entitySurfaces: DataFrame): DataFrame = {
+    val shingled = withShingles(entitySurfaces)
+    val sig = (0 until NumHashes).map { k =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(s"$k:"), s).cast("binary")))).as(s"h$k")
+    }
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      concat_ws("|", lit(b.toString) +:
+        (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
+    }
+    shingled.select(col("entity_id") +: sig: _*)
+      .select(col("entity_id"), explode(array(bands: _*)).as("band"))
+  }
+
+  def withShingles(entitySurfaces: DataFrame): DataFrame =
+    entitySurfaces.withColumn("shingles",
+      array_distinct(flatten(transform(col("surfaces"),
+        s => TextOps.charShingles(s, 3)))))
+
+  /** Verified similarity edges between entities (src < dst). */
+  def candidateEdges(
+      spark: SparkSession,
+      entitySurfaces: DataFrame,
+      jaccardThreshold: Double): DataFrame = {
+    val keys = bandKeys(entitySurfaces)
+    val a = keys.alias("a")
+    val b = keys.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.entity_id") < col("b.entity_id"))
+      .select(col("a.entity_id").as("src"), col("b.entity_id").as("dst"))
+      .distinct()
+
+    val sh = withShingles(entitySurfaces)
+      .select(col("entity_id"), col("shingles"))
+    val shSrc = sh.select(col("entity_id").as("src"),
+      col("shingles").as("src_sh"))
+    val shDst = sh.select(col("entity_id").as("dst"),
+      col("shingles").as("dst_sh"))
+    pairs
+      .join(broadcast(shSrc), "src")
+      .join(broadcast(shDst), "dst")
+      .withColumn("jaccard",
+        size(array_intersect(col("src_sh"), col("dst_sh"))).cast("double") /
+          size(array_union(col("src_sh"), col("dst_sh"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Connected components by iterative min-label propagation
+    * (driver-controlled DataFrame loop, SURVEY.md §4.3.3), lineage cut per
+    * round with localCheckpoint (SURVEY.md §7.4.7). Converges in
+    * O(component diameter) rounds — alias clusters have diameter <= 2-3;
+    * the iteration cap is a safety net, convergence is checked exactly.
+    *
+    * Returns (entity_id, canonical_id = min id in component).
+    */
+  def connectedComponents(
+      spark: SparkSession,
+      vertices: DataFrame, // (entity_id)
+      edges: DataFrame, // (src, dst)
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+
+    var labels = vertices
+      .select(col("entity_id"), col("entity_id").as("canonical_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("entity_id"))
+        .select(sym("src").as("entity_id"), col("canonical_id"))
+      val next = labels.unionByName(neighborMin)
+        .groupBy("entity_id")
+        .agg(min("canonical_id").as("canonical_id"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("entity_id"))
+        .filter(col("n.canonical_id") =!= col("o.canonical_id"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full canonicalization: Seq[Entity] -> (entity_id, canonical_id). */
+  def canonicalMap(
+      spark: SparkSession,
+      entities: Seq[Entity],
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val surf = entities
+      .map(e => (e.entity_id, e.canonical +: e.aliases))
+      .toDF("entity_id", "surfaces")
+    val edges = candidateEdges(spark, surf, jaccardThreshold)
+    connectedComponents(spark, surf.select($"entity_id"), edges)
+  }
+}

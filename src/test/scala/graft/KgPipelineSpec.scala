@@ -1,0 +1,96 @@
+package graft
+
+import graft.gen.{TranscriptGen, Vocab}
+import graft.oracle.ReferenceOracle
+import graft.pipeline.KgPipeline
+import graft.schema.{Triple, Turn}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The P/R >= 0.95 gate (SURVEY.md §5.2.2) plus the pipeline invariants
+  * from BASELINE.json's input_hint.
+  */
+class KgPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val turns = {
+    import spark.implicits._
+    // "small" fixture per FIXTURES.md §1: 200 convs + a hot conversation
+    TranscriptGen.transcripts(spark, nConvs = 200, turnsPerConv = 8,
+      hotTurns = 400, partitions = 4).cache()
+  }
+  private lazy val collected: Seq[Turn] = {
+    import spark.implicits._
+    turns.orderBy($"conv_id", $"turn_idx").collect().toSeq
+  }
+
+  test("engine triples match the reference-semantics oracle at P/R >= 0.95") {
+    import spark.implicits._
+    val result = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4)
+    val got = result.triples.collect().toSeq
+    val expectedRaw = ReferenceOracle.triples(collected)
+    val canon = ReferenceOracle.canonicalMap(Vocab.entities)
+    val expected = expectedRaw.map(t => t.copy(
+      subj = canon.getOrElse(t.subj, t.subj),
+      obj = canon.getOrElse(t.obj, t.obj)))
+    val (p, r) = ReferenceOracle.precisionRecall(got, expected)
+    assert(expected.nonEmpty, "oracle produced no triples — fixture broken")
+    withClue(s"precision=$p recall=$r got=${got.size} exp=${expected.size}: ") {
+      assert(p >= 0.95 && r >= 0.95)
+    }
+  }
+
+  test("per-turn text equality is preserved under stable turn ordering") {
+    import spark.implicits._
+    // input_hint invariant: the carried text column must survive the
+    // pipeline byte-identical; compare the full turn table before/after
+    // flowing through the mention stage's source, ordered by
+    // (conv_id, turn_idx)
+    val before = collected.map(t => (t.conv_id, t.turn_idx, t.text))
+    val after = turns.toDF()
+      .select($"conv_id", $"turn_idx", $"text")
+      .orderBy($"conv_id", $"turn_idx")
+      .as[(String, Int, String)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("canonicalization (LSH + connected components) matches exact oracle") {
+    val got = graft.canon.Canonicalize.canonicalMap(spark, Vocab.entities)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = ReferenceOracle.canonicalMap(Vocab.entities)
+    assert(got == expected)
+    // the fixture must contain at least one real merge
+    assert(expected.exists { case (k, v) => k != v },
+      "no coreferent entities merged — canon fixture too weak")
+  }
+
+  test("output is invariant to shuffle-partition count (2 vs 8)") {
+    def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
+    val a = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 2)
+      .triples.collect().map(key).toSet
+    val b = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 8)
+      .triples.collect().map(key).toSet
+    assert(a == b)
+  }
+
+  test("hot conversation is present and yields triples (skew path)") {
+    import spark.implicits._
+    val result = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4)
+    val hot = result.triples.filter($"conv_id" === "conv_hot").count()
+    assert(hot > 0)
+  }
+
+  test("graph tables: edges aggregate support, nodes collect surfaces") {
+    import spark.implicits._
+    val result = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4)
+    val triples = result.triples.count()
+    val edgeSupport = result.edges.agg(sum($"support")).as[Long].head()
+    assert(edgeSupport == triples)
+    val nodes = result.nodes.collect()
+    assert(nodes.nonEmpty)
+    // canonical ids are representatives (min ids): a node id never maps
+    // to a different canonical
+    val canon = ReferenceOracle.canonicalMap(Vocab.entities)
+    nodes.foreach(n => assert(canon(n.entity_id) == n.entity_id))
+  }
+}
