@@ -1,8 +1,174 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (SURVEY.md §2.3 J4/J5,
+  * §3.1): brute-force cosine top-k as the exactness baseline, and
+  * random-hyperplane LSH bucketing as the scale path (block first with an
+  * equi-join on bucket, then score only within blocks).
+  *
+  * Cross-engine determinism: float products are exact in double, so the
+  * dot product is reduction-order-stable to ~1 ulp; cosine values are
+  * rounded to 6 decimals before any comparison or output. Hyperplane
+  * coefficients are +/-1 from md5 hex parity — the same formula
+  * evaluates in Scala (for the Spark literal) and in the DuckDB oracle.
+  */
 object SimilarityQueries {
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Queries.t
+
+  val NumPlanes = 8
+  private val OddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** +/-1 coefficient for plane p, dimension i — md5("p:i") first hex
+    * digit parity; mirrored verbatim in the oracle SQL.
+    */
+  private def coef(p: Int, i: Int): Double =
+    if (OddHex.contains(md5hex(s"$p:$i").substring(0, 1))) 1.0 else -1.0
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** bucket id from NumPlanes sign bits. */
+  private def bucket(e: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val coefs = Array.tabulate(64)(i => coef(p, i))
+      when(aggregate(
+        zip_with(e, lit(coefs), (v, c) => v.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x) >= 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-3 per query vector: broadcast the small
+    // query side, scan candidates once (reference:
+    // search_pipeline.py:73-88 expand + cosine + topk)
+    "q_ann_brute" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val joined = emb.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          round(cosine($"qe", $"embedding"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      joined.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // LSH bucketing: every vector's random-hyperplane sign bucket
+    "q_ann_lsh_bucket" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"vec_id", bucket($"embedding").as("bucket"))
+        .orderBy($"vec_id")
+    }),
+
+    // LSH-blocked top-1: equi-join on bucket, cosine only within block
+    "q_ann_lsh_topk" -> ((s, d) => {
+      import s.implicits._
+      val b = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding", bucket($"embedding").as("bucket"))
+      val q = b.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
+      val joined = b.join(q, "bucket")
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          round(cosine($"qe", $"embedding"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      joined.withColumn("rank", row_number().over(w))
+        .filter($"rank" === 1)
+        .select($"query_id", $"neighbor_id", $"cos_sim")
+        .orderBy($"query_id")
+    }),
+
+    // per-label embedding stats (round-before-aggregate => order-free)
+    "q_embed_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"label",
+          round(dot($"embedding", $"embedding"), 6).as("norm2"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          min($"norm2").as("min_norm2"),
+          max($"norm2").as("max_norm2"))
+        .orderBy($"label")
+    }),
+  )
+
+  private val oddSql = OddHex.map(h => s"'$h'").mkString("(", ",", ")")
+
+  /** DuckDB bucket formula — identical md5-parity coefficients. */
+  private val bucketSql: String =
+    (0 until NumPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         i -> __e[i] * (CASE WHEN substr(md5('$p:' || (i - 1)), 1, 1)
+           IN $oddSql THEN 1.0 ELSE -1.0 END))) >= 0
+         THEN ${1L << p} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  private val cosSql =
+    """ROUND(list_dot_product(a.__e, q.__e) /
+       (SQRT(list_dot_product(a.__e, a.__e)) *
+        SQRT(list_dot_product(q.__e, q.__e))), 6)"""
+
+  def oracle: Map[String, String] = Map(
+    "q_ann_brute" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, __e FROM e WHERE vec_id % 25 = 0),
+         scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             $cosSql AS cos_sim
+           FROM e a CROSS JOIN q WHERE a.vec_id <> q.query_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q_ann_lsh_bucket" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
+           FROM embeddings)
+         SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket
+         FROM e ORDER BY vec_id""",
+    "q_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
+           FROM embeddings),
+         b AS (SELECT vec_id, __e, CAST($bucketSql AS BIGINT) AS bucket
+           FROM e),
+         q AS (SELECT vec_id AS query_id, __e, bucket FROM b
+           WHERE vec_id % 25 = 0),
+         scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             $cosSql AS cos_sim
+           FROM b a JOIN q ON a.bucket = q.bucket
+           WHERE a.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim FROM (
+           SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank = 1 ORDER BY query_id""",
+    "q_embed_stats" ->
+      """WITH e AS (SELECT label,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+             CAST(embedding AS DOUBLE[])), 6) AS norm2
+           FROM embeddings)
+         SELECT label, COUNT(*) AS n, MIN(norm2) AS min_norm2,
+           MAX(norm2) AS max_norm2
+         FROM e GROUP BY 1 ORDER BY 1""",
+  )
 }
