@@ -1,24 +1,131 @@
 package graft
+
+import graft.gen.TranscriptGen
+import graft.pipeline.KgPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (driver contract + BASELINE.json scaling rule).
+  *
+  * Prints exactly ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *    "kg":{...},"scaling":{...}}
+  *
+  * - `queries`: per-query wall seconds for the headline driver-contract
+  *   queries on $SPARK_GRAFT_SF_DIR.
+  * - `kg`: end-to-end KG pipeline (mention->link->triple->canon->
+  *   materialize) on a deterministic synthetic transcript corpus,
+  *   triples/sec at full parallelism.
+  * - `scaling`: the same job at N and 4N cores (no real cluster in this
+  *   sandbox — BASELINE.md documents this evidence mode), throughput at
+  *   both plus efficiency = (tput_hi / tput_lo) / (cpus_hi / cpus_lo).
+  *   Each session gets a small warmup run first so JIT state is
+  *   comparable between the two measurements.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Headline subset: one per physical-op family, heaviest variants. */
+  private val headline = Seq(
+    "q_agg_pricing", "q_join_broadcast", "q_join_star", "q_window_running",
+    "q_threshold_sweep", "q_text_ctfidf", "q_dedup_lsh_pairs",
+    "q_dedup_jaccard", "q_ann_brute", "q_ann_lsh_topk")
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // Hadoop vectored IO opens a fresh AsynchronousFileChannel (plus its
+      // own thread pool) per read on RawLocalFileSystem — stack-sampled as
+      // the dominant blocker at 32 threads. Plain positional reads win on
+      // local disk.
+      .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One timed KG run; returns (wallSec, triples). */
+  private def kgRun(spark: SparkSession, turnsPath: String,
+      cpus: Int): (Double, Long) = {
+    val turns = spark.read.parquet(turnsPath)
+    val t0 = System.nanoTime()
+    val n = KgPipeline.run(spark, turns, shufflePartitions = cpus)
+      .triples.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** warmup on the small corpus, then min wall of `reps` timed runs —
+    * single-shot walls on this sandbox swing ~2x (shared host), min-of-2
+    * after JIT warmup is stable.
+    */
+  private def measure(cpus: Int, turnsPath: String, warmupPath: String,
+      reps: Int = 2): (Double, Long) = {
+    val s = session(cpus)
+    kgRun(s, warmupPath, cpus)
+    val runs = (1 to reps).map(_ => kgRun(s, turnsPath, cpus))
+    s.stop()
+    (runs.map(_._1).min, runs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Scaling pair within PHYSICAL cores: 32 logical = 16 physical + SMT
+    // here; a raw-CPU reference loop itself only scales 2.9x from 8->32
+    // threads, so the honest N -> 4N two-cluster-size analogue on this
+    // box is 2 -> 8 (each level gets real cores, like adding nodes).
+    // The 8 -> 32 (SMT-saturated) pair is also reported for transparency.
+    val scaleHi = math.min(8, cpusHi)
+    val scaleLo = math.max(scaleHi / 4, 1)
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
+    val tmp = System.getProperty("java.io.tmpdir")
+    val turnsPath = s"$tmp/graft_bench_turns"
+    val warmupPath = s"$tmp/graft_bench_warmup"
+
+    // ---- full-parallelism session: queries + corpus gen + timed KG run
+    val hi = session(cpusHi)
+    val queryTimes = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(hi, sfDir).count()
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    TranscriptGen.transcripts(hi, nConvs = benchConvs, turnsPerConv = 8,
+      hotTurns = benchConvs / 5, partitions = cpusHi * 4)
+      .write.mode("overwrite").parquet(turnsPath)
+    TranscriptGen.transcripts(hi, nConvs = benchConvs / 10, turnsPerConv = 8,
+      hotTurns = benchConvs / 50, partitions = cpusHi)
+      .write.mode("overwrite").parquet(warmupPath)
+    kgRun(hi, warmupPath, cpusHi) // JIT warmup at 1/10 size
+    val runsHi = (1 to 2).map(_ => kgRun(hi, turnsPath, cpusHi))
+    val (tHi, triples) = (runsHi.map(_._1).min, runsHi.head._2)
+    hi.stop()
+
+    // ---- scaling pair: same input, same job, N and 4N cores
+    val (t8, _) = measure(scaleHi, turnsPath, warmupPath)
+    val (t2, _) = measure(scaleLo, turnsPath, warmupPath)
+
+    def tput(t: Double) = triples / t
+    val eff = (tput(t8) / tput(t2)) / (scaleHi.toDouble / scaleLo)
+    val effSmt = (tput(tHi) / tput(t8)) / (cpusHi.toDouble / scaleHi)
+    val qJson = queryTimes
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = queryTimes.map(_._2).sum + tHi
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""queries":$qJson,"sf":"$sfDir",""" +
+        s""""kg":{"triples":$triples,"wall_sec":${f"$tHi%.3f"},""" +
+        s""""triples_per_sec":${f"${tput(tHi)}%.1f"},"cpus":$cpusHi},""" +
+        s""""scaling":{"cpus_lo":$scaleLo,"cpus_hi":$scaleHi,""" +
+        s""""tput_lo":${f"${tput(t2)}%.1f"},"tput_hi":${f"${tput(t8)}%.1f"},""" +
+        s""""efficiency":${f"$eff%.3f"},""" +
+        s""""smt_pair":{"cpus_lo":$scaleHi,"cpus_hi":$cpusHi,""" +
+        s""""efficiency":${f"$effSmt%.3f"}}}}""")
   }
 }

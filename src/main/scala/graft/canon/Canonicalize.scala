@@ -125,6 +125,14 @@ object Canonicalize {
     labels
   }
 
+  /** Adaptive small-input cutoff: below this many candidate edges the
+    * components are solved with a driver-local union-find instead of the
+    * iterative DataFrame loop — the same size-based physical choice Spark
+    * itself makes for broadcast joins. The distributed path stays the
+    * scale path and is unit-tested directly.
+    */
+  val LocalComponentsMaxEdges = 100000L
+
   /** Full canonicalization: Seq[Entity] -> (entity_id, canonical_id). */
   def canonicalMap(
       spark: SparkSession,
@@ -135,6 +143,32 @@ object Canonicalize {
       .map(e => (e.entity_id, e.canonical +: e.aliases))
       .toDF("entity_id", "surfaces")
     val edges = candidateEdges(spark, surf, jaccardThreshold)
-    connectedComponents(spark, surf.select($"entity_id"), edges)
+      .localCheckpoint()
+    if (edges.count() <= LocalComponentsMaxEdges) {
+      val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      val comp = localUnionFind(entities.map(_.entity_id), pairs)
+      comp.toSeq.toDF("entity_id", "canonical_id")
+    } else {
+      connectedComponents(spark, surf.select($"entity_id"), edges)
+    }
+  }
+
+  /** Driver-local union-find with path compression; min id = canonical. */
+  def localUnionFind(
+      ids: Seq[String],
+      edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    ids.map(i => i -> find(i)).toMap
   }
 }

@@ -20,6 +20,81 @@ import org.apache.spark.sql.functions._
   */
 object MentionDetect {
 
+  /** Per-turn span groups for the fused pipeline: candidate spans
+    * (unigrams + bigrams) are matched against the broadcast gazetteer
+    * (mention spans) and the predicate-trigger dictionary (pred spans),
+    * then grouped per (conv_id, turn_idx) — shuffle-free when the input
+    * is already hash-partitioned at turn granularity. A token that is
+    * both a gazetteer surface and a predicate trigger yields one row of
+    * each kind, matching the oracle's independent gap scan.
+    *
+    * Output: (conv_id, turn_idx,
+    *          spans: array<struct<token_pos, token_len, surface,
+    *          is_mention>>) — consumed by graft.extract.TurnExtract.
+    */
+  def spanCandidates(
+      spark: SparkSession,
+      turns: DataFrame,
+      gazetteer: Seq[String],
+      predicates: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val gaz = gazetteer.toDF("surface").withColumn("__gaz", lit(1))
+    val predMap = typedlit(predicates)
+    val flagged = candidateSpans(spark, turns)
+      .join(broadcast(gaz), Seq("surface"), "left")
+      .select($"conv_id", $"turn_idx", $"token_pos", $"token_len",
+        $"surface",
+        $"__gaz".isNotNull.as("gm"),
+        ($"token_len" === 1 && map_contains_key(predMap, $"surface"))
+          .as("pm"))
+      .filter($"gm" || $"pm")
+    val expanded = flagged.select(
+      $"conv_id", $"turn_idx", $"token_pos", $"token_len", $"surface",
+      explode(
+        when($"gm" && $"pm", array(lit(true), lit(false)))
+          .when($"gm", array(lit(true)))
+          .otherwise(array(lit(false)))).as("is_mention"))
+    expanded
+      .groupBy($"conv_id", $"turn_idx")
+      .agg(collect_list(struct($"token_pos", $"token_len", $"surface",
+        $"is_mention")).as("spans"))
+  }
+
+  /** Candidate spans = unigrams ++ bigrams in ONE array, exploded by the
+    * codegen'd posexplode generator: element p < n is the unigram at
+    * token position p; element p >= n is the bigram starting at p - n
+    * (null-padded at the tail). The token array is let-bound so
+    * tokenization runs once per row (see TextOps.let); the only
+    * interpreted HOF left is one zip_with for the bigram strings —
+    * building (pos, len, surface) struct arrays per row instead measured
+    * ~2x slower at 32 threads.
+    */
+  private def candidateSpans(
+      spark: SparkSession,
+      turns: DataFrame): DataFrame = {
+    import spark.implicits._
+    val combined = TextOps.let(TextOps.tokens($"text")) { toks =>
+      val n = size(toks)
+      val shifted = concat(slice(toks, lit(2), greatest(n - 1, lit(0))),
+        array(lit(null).cast("string")))
+      val bigrams = zip_with(toks, shifted,
+        (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
+      concat(toks, bigrams)
+    }
+    turns
+      .withColumn("combined_spans", combined)
+      .select($"conv_id", $"turn_idx",
+        (size($"combined_spans") / 2).cast("int").as("n_toks"),
+        posexplode($"combined_spans"))
+      .withColumnRenamed("col", "surface")
+      .filter($"surface".isNotNull)
+      .select($"conv_id", $"turn_idx",
+        when($"pos" < $"n_toks", $"pos").otherwise($"pos" - $"n_toks")
+          .as("token_pos"),
+        when($"pos" < $"n_toks", 1).otherwise(2).as("token_len"),
+        $"surface")
+  }
+
   /** turns(conv_id, turn_idx, text, ...) -> Dataset[Mention]. */
   def mentions(
       spark: SparkSession,
@@ -29,46 +104,29 @@ object MentionDetect {
 
     val gaz = gazetteer.toDF("surface")
 
-    val toks = TextOps.tokens($"text")
-    // shifted-by-one zip -> bigram strings aligned to their start pos
-    val shifted = concat(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      array(lit(null).cast("string")))
-    val bigrams = zip_with(toks, shifted,
-      (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
-
-    val spans = concat(
-      // (pos, len, surface) for every unigram ...
-      zip_with(toks, sequence(lit(0), greatest(size(toks) - 1, lit(0))),
-        (tok, i) => struct(i.as("token_pos"), lit(1).as("token_len"),
-          tok.as("surface"))),
-      // ... and every bigram
-      filter(
-        zip_with(bigrams, sequence(lit(0), greatest(size(toks) - 1, lit(0))),
-          (bg, i) => struct(i.as("token_pos"), lit(2).as("token_len"),
-            bg.as("surface"))),
-        s => s("surface").isNotNull))
-
-    val candidates = turns
-      .select($"conv_id", $"turn_idx", explode(spans).as("span"))
-      .select($"conv_id", $"turn_idx",
-        $"span.token_pos", $"span.token_len", $"span.surface")
-
-    val matched = candidates
+    val matched = candidateSpans(spark, turns)
       .join(broadcast(gaz), Seq("surface"), "left_semi")
 
     // bigram-wins overlap resolution: drop unigram matches whose position
-    // is covered by a bigram match in the same turn (self-join: aliased)
-    val uni = matched.filter($"token_len" === 1).alias("u")
-    val cover = matched.filter($"token_len" === 2)
+    // is covered by a bigram match in the same turn. Implemented as
+    // groupBy (conv, turn) + array filter + explode: when the input is
+    // already hash-partitioned by conv_id (KgPipeline's entry
+    // repartition) the aggregation needs NO exchange and NO sort —
+    // a Window here kept the partitioning too but paid a per-group
+    // sort + WindowExec buffering (stack-sampled hotspot); a self-join
+    // re-evaluated the candidate pipeline per branch (3x cost).
+    val out = matched
+      .groupBy($"conv_id", $"turn_idx")
+      .agg(collect_list(
+        struct($"token_pos", $"token_len", $"surface")).as("ms"))
       .select($"conv_id", $"turn_idx",
-        explode(array($"token_pos", $"token_pos" + 1)).as("covered"))
-      .distinct().alias("c")
-    val unigrams = uni.join(cover,
-      col("u.conv_id") === col("c.conv_id") &&
-        col("u.turn_idx") === col("c.turn_idx") &&
-        col("u.token_pos") === col("c.covered"),
-      "left_anti")
-    val out = unigrams.unionByName(matched.filter($"token_len" === 2))
+        explode(filter($"ms", m =>
+          m("token_len") === 2 ||
+            !exists($"ms", b => b("token_len") === 2 &&
+              (b("token_pos") === m("token_pos") ||
+                b("token_pos") === m("token_pos") - 1)))).as("m"))
+      .select($"conv_id", $"turn_idx",
+        $"m.token_pos", $"m.token_len", $"m.surface")
 
     out.select($"conv_id", $"turn_idx", $"token_pos", $"token_len",
       $"surface").as[Mention]

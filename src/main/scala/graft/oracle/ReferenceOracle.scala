@@ -20,7 +20,7 @@ import graft.score.Embed
 object ReferenceOracle {
 
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.replaceAll("[^a-z0-9 ]+", " ").trim
+    text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
       .split(" +").filter(_.nonEmpty)
 
   /** (token_pos, token_len, surface) with bigram-wins overlap rule. */

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.canon.Canonicalize
 import graft.ckpt.Checkpoint
+import graft.extract.TurnExtract
 import graft.gen.Vocab
 import graft.graph.Materialize
 import graft.link.EntityLink
@@ -39,6 +40,25 @@ object KgPipeline {
       shufflePartitions: Int = 32): Result = {
     import spark.implicits._
 
+    // North-rule physical contract: ONE explicit hash repartition at
+    // pipeline entry, at (conv_id, turn_idx) granularity. Every
+    // downstream operator clusters by exactly (conv_id, turn_idx) —
+    // overlap resolution, mention pairing, and the turns<->mentions join
+    // are all within-turn — so HashPartitioning(conv_id, turn_idx)
+    // satisfies every ClusteredDistribution with no further shuffle of
+    // the turn table, AND it is the skew treatment: a hot conversation
+    // (agent loop with 10^5 turns) partitioned by conv_id alone pins to
+    // one task, measured as the scaling straggler; turn granularity
+    // spreads it across the cluster. (An operator that genuinely needs
+    // conversation-level co-location — e.g. cross-turn coref — must
+    // repartition itself by conv_id with salting; none in this pipeline
+    // does.) The explicit repartition also decouples parallelism from
+    // input file-split packing (small parquet files otherwise coalesce
+    // into a handful of splits via spark.sql.files.openCostInBytes,
+    // capping the narrow chain's parallelism).
+    val turnsP = turns.repartition(shufflePartitions,
+      turns("conv_id"), turns("turn_idx"))
+
     val stats = scala.collection.mutable.ArrayBuffer[Checkpoint.StageStats]()
     def stage(name: String, inputs: Seq[String])(f: => DataFrame): DataFrame =
       checkpointRoot match {
@@ -49,17 +69,22 @@ object KgPipeline {
         case None => f
       }
 
-    val mentions = stage("mentions", Seq("turns")) {
-      MentionDetect.mentions(spark, turns, Vocab.gazetteer).toDF()
-    }.as[Mention]
+    // Catalyst side: tokenize -> candidate explode -> broadcast gazetteer
+    // join -> per-turn span groups (no exchange past the entry
+    // repartition)
+    val spans = stage("turn_spans", Seq("turns", "gazetteer")) {
+      MentionDetect.spanCandidates(spark, turnsP, Vocab.gazetteer,
+        predicates)
+    }
 
-    val linked = stage("linked", Seq("mentions", "entity_index")) {
-      EntityLink.link(spark, mentions, entities, minLinkScore).toDF()
-    }.as[LinkedMention]
-
-    val rawTriples = stage("triples", Seq("linked", "turns")) {
-      TripleExtract.triples(spark, turns, linked, predicates,
-        shufflePartitions).toDF()
+    // pooled-scorer side: overlap resolution + linking + predicate
+    // pairing per turn in one mapPartitions pass (north-star shape).
+    // The unfused operators (MentionDetect.mentions, EntityLink.link,
+    // TripleExtract.triples) remain as standalone library operators and
+    // are asserted equivalent in KgPipelineSpec.
+    val rawTriples = stage("triples", Seq("turn_spans", "entity_index")) {
+      TurnExtract.triples(spark, spans, entities, minLinkScore,
+        predicates).toDF()
     }.as[Triple]
 
     val canonMap = stage("canonical_map", Seq("entity_index")) {

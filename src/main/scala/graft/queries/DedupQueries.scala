@@ -25,13 +25,20 @@ object DedupQueries {
   private def shingles: Column =
     array_distinct(TextOps.tokenNgrams(toks, 2))
 
-  private def minhash(k: Int): Column =
-    array_min(transform(shingles,
-      s => md5(concat(lit(s"$k:"), s).cast("binary")))).as(s"h$k")
-
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
-      col("doc_id") +: (0 until NumHashes).map(minhash): _*)
+  /** Signatures via explode + agg-min: each shingle row computes its
+    * NumHashes md5s once inside whole-stage codegen, then one shuffle
+    * aggregates the mins — instead of NumHashes nested array-transform
+    * columns that each re-expand the shingle expression tree (measured
+    * 10x slower and quadratic in NumHashes).
+    */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val exploded = t(s, d, "documents")
+      .select(col("doc_id"), explode(shingles).as("g"))
+    exploded.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0:"), col("g")).cast("binary"))).as("h0"),
+      (1 until NumHashes).map(k =>
+        min(md5(concat(lit(s"$k:"), col("g")).cast("binary"))).as(s"h$k")): _*)
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: canonical = min doc_id among identical texts
@@ -54,7 +61,9 @@ object DedupQueries {
     // (SURVEY.md §7.3); never a cross join.
     "q_dedup_lsh_pairs" -> ((s, d) => {
       import s.implicits._
-      val sig = signatures(s, d)
+      // sig feeds three plan branches (band keys + both pair sides):
+      // materialize once instead of recomputing the shuffle 3x
+      val sig = signatures(s, d).localCheckpoint()
       val bands = (0 until NumHashes / BandRows).map { b =>
         concat_ws("|", lit(b.toString) +:
           (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
@@ -194,5 +203,5 @@ object DedupQueries {
 /** Shared DuckDB SQL fragments (token formula must match TextOps.tokens). */
 private[queries] object TextQueriesSqlShared {
   val toksSql: String =
-    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' '), x -> x <> '')"
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
 }

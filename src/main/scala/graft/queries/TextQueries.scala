@@ -138,7 +138,7 @@ object TextQueries {
   }.mkString("[", ", ", "]")
 
   private val toksSql =
-    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), ' '), x -> x <> '')"
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" ->

@@ -13,11 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Expression-level let-binding: evaluates `value` ONCE per row and
+    * binds it as a lambda variable inside `body`.
+    *
+    * Catalyst does not common-subexpression-eliminate across nested
+    * higher-order-function lambdas, so an expensive subtree (e.g.
+    * regexp tokenization) referenced N times in a span-building
+    * expression is evaluated N times per row — measured 10x slowdown in
+    * mention detection. `transform(array(value), v => body(v))[1]` makes
+    * the binding explicit: the lambda variable is an attribute lookup.
+    */
+  def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   /** Whitespace/punct normalization on a COPY of the text
     * (reference: remove_unnecessary_spaces, src/utils/utils.py:52-67).
+    * Non-alnum RUNS collapse to one space so the downstream split can be
+    * a single-char split — String.split's non-regex fast path; a " +"
+    * split pattern costs a java.util.regex.Pattern compile PER ROW
+    * (stack-sampled hotspot).
     */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9 ]+", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** HTML strip (reference: src/utils/utils.py:69-72). */
   def stripHtml(text: Column): Column =
@@ -28,7 +45,7 @@ object TextOps {
     *  custom_pyspark_transformer.py:40-50).
     */
   def tokens(text: Column): Column =
-    filter(split(normalized(text), " +"), t => length(t) > 0)
+    filter(split(normalized(text), " "), t => length(t) > 0)
 
   /** Sentence split (reference: src/utils/tokenizers.py:9,13-15). */
   def sentences(text: Column): Column =

@@ -34,9 +34,12 @@ object TripleExtract {
 
     val predMap = typedlit(predicates)
 
-    // hashpartitioning(conv_id) satisfies the (conv_id, turn_idx) window's
-    // ClusteredDistribution, so the window adds only a local sort
-    val lm = linked.toDF().repartition(shufflePartitions, $"conv_id")
+    // (conv_id, turn_idx) hash partitioning: satisfies the window's
+    // ClusteredDistribution (only a local sort remains), co-partitions
+    // with KgPipeline's turn table for the tokens join, and spreads hot
+    // conversations (skew) at turn granularity
+    val lm = linked.toDF()
+      .repartition(shufflePartitions, $"conv_id", $"turn_idx")
     val w = Window.partitionBy($"conv_id", $"turn_idx").orderBy($"token_pos")
     val pairs = lm
       .withColumn("next_pos", lead($"token_pos", 1).over(w))

@@ -73,6 +73,27 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("fused per-turn extraction equals the unfused operator chain") {
+    import spark.implicits._
+    // unfused: MentionDetect.mentions -> EntityLink.link ->
+    // TripleExtract.triples (each a standalone library operator)
+    val mentions = graft.mention.MentionDetect.mentions(
+      spark, turns.toDF(), Vocab.gazetteer)
+    val linked = graft.link.EntityLink.link(
+      spark, mentions, Vocab.entities, Vocab.minLinkScore)
+    val unfused = graft.triple.TripleExtract.triples(
+      spark, turns.toDF(), linked, Vocab.predicates, 4).collect()
+    // fused: spanCandidates -> TurnExtract (the pipeline path)
+    val spans = graft.mention.MentionDetect.spanCandidates(
+      spark, turns.toDF(), Vocab.gazetteer, Vocab.predicates)
+    val fused = graft.extract.TurnExtract.triples(
+      spark, spans, Vocab.entities, Vocab.minLinkScore, Vocab.predicates)
+      .collect()
+    def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
+    assert(fused.map(key).toSet == unfused.map(key).toSet)
+    assert(fused.length == unfused.length)
+  }
+
   test("hot conversation is present and yields triples (skew path)") {
     import spark.implicits._
     val result = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4)
