@@ -38,7 +38,7 @@ object Checkpoint {
       lineageInputs: Seq[String])(compute: => DataFrame): (DataFrame, StageStats) = {
     val dir = new Path(root, name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = new Path(dir, "manifest.json")
+    val manifest = new Path(dir, "_manifest.json")
     val success = new Path(dir, "_SUCCESS")
 
     if (fs.exists(manifest) && fs.exists(success)) {
@@ -83,6 +83,6 @@ object Checkpoint {
   def wasCommitted(spark: SparkSession, root: String, name: String): Boolean = {
     val dir = new Path(root, name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(dir, "manifest.json")) && fs.exists(new Path(dir, "_SUCCESS"))
+    fs.exists(new Path(dir, "_manifest.json")) && fs.exists(new Path(dir, "_SUCCESS"))
   }
 }

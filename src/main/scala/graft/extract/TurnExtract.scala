@@ -37,6 +37,43 @@ object TurnExtract {
       turn_idx: Int,
       spans: Seq[Span])
 
+  /** Core per-turn semantics, shared by the batch (span-group) and
+    * streaming (per-row) entry points; the sequential restatement lives
+    * independently in graft.oracle.ReferenceOracle.
+    */
+  private def extract(
+      convId: String,
+      turnIdx: Int,
+      allSpans: Seq[Span],
+      scorer: EntityLink.Scorer,
+      preds: Map[String, String]): Iterator[Triple] = {
+    val spans = allSpans.sortBy(s => (s.token_pos, s.token_len))
+    // bigram-wins overlap resolution (mirrors ReferenceOracle)
+    val covered = spans.iterator
+      .filter(s => s.is_mention && s.token_len == 2)
+      .flatMap(s => Iterator(s.token_pos, s.token_pos + 1)).toSet
+    val mentions = spans.filter(s => s.is_mention &&
+      (s.token_len == 2 || !covered.contains(s.token_pos)))
+    val predSpans = spans.filter(!_.is_mention)
+
+    val linked = mentions.flatMap { m =>
+      scorer.link(m.surface).map { case (id, score) =>
+        (m.token_pos, m.token_len, id, score)
+      }
+    }
+    linked.sliding(2).flatMap {
+      case Seq((pos1, len1, id1, s1), (pos2, _, id2, s2)) =>
+        val gapStart = pos1 + len1
+        predSpans
+          .find(p => p.token_pos >= gapStart && p.token_pos < pos2)
+          .map { p =>
+            Triple(convId, turnIdx, id1, preds(p.surface), id2,
+              math.min(s1, s2))
+          }
+      case _ => None
+    }
+  }
+
   def triples(
       spark: SparkSession,
       turnSpans: DataFrame,
@@ -52,32 +89,58 @@ object TurnExtract {
       // reused inference session across batches)
       val scorer = new EntityLink.Scorer(bcIndex.value, minScore)
       val preds = bcPreds.value
-      it.flatMap { t =>
-        val spans = t.spans.sortBy(s => (s.token_pos, s.token_len))
-        // bigram-wins overlap resolution (mirrors ReferenceOracle)
-        val covered = spans.iterator
-          .filter(s => s.is_mention && s.token_len == 2)
-          .flatMap(s => Iterator(s.token_pos, s.token_pos + 1)).toSet
-        val mentions = spans.filter(s => s.is_mention &&
-          (s.token_len == 2 || !covered.contains(s.token_pos)))
-        val predSpans = spans.filter(!_.is_mention)
+      it.flatMap(t => extract(t.conv_id, t.turn_idx, t.spans, scorer, preds))
+    }
+  }
 
-        val linked = mentions.flatMap { m =>
-          scorer.link(m.surface).map { case (id, score) =>
-            (m.token_pos, m.token_len, id, score)
+  final case class TimedTriple(
+      conv_id: String, turn_idx: Int, subj: String, pred: String,
+      obj: String, score: Double, ts: java.sql.Timestamp)
+
+  /** Per-row (shuffle-free, stream-safe) variant: candidate detection,
+    * resolution, linking and pairing all inside one mapPartitions over
+    * raw turns — no aggregation state, so it runs unchanged on a
+    * streaming Dataset in append mode. Uses the shared plain-Scala
+    * tokenizer spec (graft.text.TextOps.tokenizeString).
+    */
+  def timedTriplesFromTurns(
+      spark: SparkSession,
+      turns: Dataset[graft.schema.Turn],
+      gazetteer: Seq[String],
+      entities: Seq[Entity],
+      minScore: Double,
+      predicates: Map[String, String]): Dataset[TimedTriple] = {
+    import spark.implicits._
+    val bcIndex = spark.sparkContext.broadcast(EntityLink.buildIndex(entities))
+    val bcPreds = spark.sparkContext.broadcast(predicates)
+    val bcGazUni = spark.sparkContext.broadcast(
+      gazetteer.filterNot(_.contains(' ')).toSet)
+    val bcGazBi = spark.sparkContext.broadcast(
+      gazetteer.filter(_.contains(' ')).toSet)
+
+    turns.mapPartitions { it =>
+      val scorer = new EntityLink.Scorer(bcIndex.value, minScore)
+      val preds = bcPreds.value
+      val (gazUni, gazBi) = (bcGazUni.value, bcGazBi.value)
+      it.flatMap { t =>
+        val toks = graft.text.TextOps.tokenizeString(t.text)
+        val spans = Seq.newBuilder[Span]
+        var i = 0
+        while (i < toks.length) {
+          if (gazUni.contains(toks(i)))
+            spans += Span(i, 1, toks(i), is_mention = true)
+          if (preds.contains(toks(i)))
+            spans += Span(i, 1, toks(i), is_mention = false)
+          if (i + 1 < toks.length) {
+            val bg = toks(i) + " " + toks(i + 1)
+            if (gazBi.contains(bg))
+              spans += Span(i, 2, bg, is_mention = true)
           }
+          i += 1
         }
-        linked.sliding(2).flatMap {
-          case Seq((pos1, len1, id1, s1), (pos2, _, id2, s2)) =>
-            val gapStart = pos1 + len1
-            predSpans
-              .find(p => p.token_pos >= gapStart && p.token_pos < pos2)
-              .map { p =>
-                Triple(t.conv_id, t.turn_idx, id1, preds(p.surface), id2,
-                  math.min(s1, s2))
-              }
-          case _ => None
-        }
+        extract(t.conv_id, t.turn_idx, spans.result(), scorer, preds)
+          .map(tr => TimedTriple(tr.conv_id, tr.turn_idx, tr.subj, tr.pred,
+            tr.obj, tr.score, t.ts))
       }
     }
   }

@@ -118,6 +118,15 @@ object TextQueries {
         .orderBy($"doc_id")
     }),
 
+    // multimodal metadata path: media as opaque binary + typed metadata
+    // (graft.multimodal.Multimodal) — text bytes stand in for a blob
+    "q_media_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select($"doc_id", $"text".cast("binary").as("media"))
+      graft.multimodal.Multimodal.mediaMetadata(media).orderBy($"doc_id")
+    }),
+
     // token counting: whitespace tokens + BPE-ish piece count
     // (ceil(len/4) pieces per token)
     "q_text_token_count" -> ((s, d) => {
@@ -206,6 +215,12 @@ object TextQueries {
                ORDER BY score DESC, cand) AS rn
            FROM flat)
          WHERE rn = 1 ORDER BY doc_id""",
+    "q_media_meta" ->
+      """SELECT doc_id,
+         octet_length(text::BLOB) AS byte_len,
+         hex(substring(text, 1, 4)::BLOB) AS header_hex,
+         md5(text) AS media_md5
+         FROM documents ORDER BY doc_id""",
     "q_text_token_count" ->
       s"""WITH d AS (SELECT doc_id, text, $toksSql AS __toks FROM documents)
          SELECT doc_id,

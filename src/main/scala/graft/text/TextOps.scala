@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Plain-Scala tokenizer spec — MUST stay semantically identical to
+    * `tokens` below (asserted by TextOpsSpec). Used by the streaming
+    * per-row extraction path and available to callers outside Catalyst.
+    */
+  def tokenizeString(s: String): Array[String] =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ").filter(_.nonEmpty)
+
   /** Expression-level let-binding: evaluates `value` ONCE per row and
     * binds it as a lambda variable inside `body`.
     *

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ckpt.Checkpoint
+import graft.gen.TranscriptGen
+import graft.pipeline.KgPipeline
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Resumability gate (north rule: "resumable from per-partition
+  * checkpoints with lineage + metrics written alongside each commit";
+  * SURVEY.md §5.2.5).
+  */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("pipeline resumes: completed stages are skipped, output identical") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt").toString
+    val turns = TranscriptGen.transcripts(spark, nConvs = 30,
+      turnsPerConv = 6, hotTurns = 0, partitions = 2).toDF()
+
+    val first = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2)
+    val firstTriples = first.triples.collect().toSet
+    assert(first.stats.nonEmpty && first.stats.forall(!_.skipped))
+
+    // simulate a crash after the pipeline committed everything except the
+    // last stage: delete the final output, keep the earlier commits
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "edges"), true)
+    assert(!Checkpoint.wasCommitted(spark, root, "edges"))
+    assert(Checkpoint.wasCommitted(spark, root, "turn_spans"))
+
+    val second = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2)
+    val byName = second.stats.map(s => s.name -> s.skipped).toMap
+    assert(byName("turn_spans"), "turn_spans should be resumed, not rerun")
+    assert(byName("triples"), "triples should be resumed, not rerun")
+    assert(!byName("edges"), "edges must be recomputed")
+    assert(second.triples.collect().toSet == firstTriples)
+  }
+
+  test("manifest carries lineage and per-partition metrics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt2").toString
+    val turns = TranscriptGen.transcripts(spark, nConvs = 10,
+      turnsPerConv = 4, hotTurns = 0, partitions = 2).toDF()
+    KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2).triples.count()
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(root, "triples", "_manifest.json"))
+    assert(manifest.contains(""""stage":"triples""""))
+    assert(manifest.contains(""""lineage":["turn_spans","entity_index"]"""))
+    assert(manifest.contains(""""per_partition":["""))
+    assert(manifest.contains(""""rows_per_sec":"""))
+  }
+
+  test("interrupted commit leaves no half-visible stage (tmp then rename)") {
+    val root = Files.createTempDirectory("graft_ckpt3").toString
+    val df = spark.range(10).toDF("id")
+    // a compute that writes, then we check no .tmp dir survives a commit
+    val (out, st) = Checkpoint.stage(spark, root, "s1", Seq("in"))(df)
+    assert(out.count() == 10 && !st.skipped)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "s1.tmp")))
+    // second call resumes
+    val (_, st2) = Checkpoint.stage(spark, root, "s1", Seq("in"))(df)
+    assert(st2.skipped)
+  }
+}
