@@ -47,6 +47,30 @@ object EntityLink {
       .map(e => (e.entity_id, Embed.meanEmbed(e.canonical +: e.aliases)))
       .toIndexedSeq
 
+  /** ST1: incremental index maintenance (reference: add_to_index /
+    * remove_from_index, search_pipeline.py:154-175) — append/remove
+    * candidate rows, rebuild the sorted broadcastable index.
+    */
+  def updateIndex(
+      index: IndexedSeq[(String, Array[Float])],
+      add: Seq[Entity],
+      removeIds: Set[String] = Set.empty): IndexedSeq[(String, Array[Float])] =
+    (index.filterNot { case (id, _) => removeIds.contains(id) } ++
+      buildIndex(add)).sortBy(_._1).distinctBy(_._1).toIndexedSeq
+
+  /** W1 (reference: length-sorted batching, sentence_encoder.py:138-139):
+    * cluster same-length surfaces within partitions so a real batched
+    * encoder pads minimally. Row order is irrelevant downstream — output
+    * order is restored by (conv_id, turn_idx, token_pos) keys (W2).
+    */
+  def lengthSorted(mentions: Dataset[Mention]): Dataset[Mention] = {
+    import org.apache.spark.sql.functions.{col, length}
+    import mentions.sparkSession.implicits._
+    mentions.toDF()
+      .sortWithinPartitions(length(col("surface")))
+      .as[Mention]
+  }
+
   def link(
       spark: SparkSession,
       mentions: Dataset[Mention],

@@ -105,4 +105,20 @@ object KgPipeline {
 
     Result(relabeled, nodes, edges, stats.toSeq)
   }
+
+  /** Materialize the graph into snapshot-committed node/edge tables
+    * (graft.io.TableIO — Iceberg layout semantics on Parquet). Edges are
+    * partitioned by predicate: low cardinality, and per-predicate reads
+    * (the common KG access path) get partition pruning.
+    */
+  def materialize(
+      spark: SparkSession,
+      result: Result,
+      dir: String): (Int, Int) = {
+    val nv = graft.io.TableIO.write(spark, result.nodes.toDF(),
+      s"$dir/nodes", Nil, Seq("canonical_map", "entity_index"))
+    val ev = graft.io.TableIO.write(spark, result.edges.toDF(),
+      s"$dir/edges", Seq("pred"), Seq("triples_canonical"))
+    (nv, ev)
+  }
 }

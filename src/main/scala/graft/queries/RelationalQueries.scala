@@ -266,6 +266,49 @@ object RelationalQueries {
         .orderBy($"event_type")
     }),
 
+    // A3: docs-per-group concat aggregation (reference:
+    // topic_modeling.py:79 groupby.agg(' '.join)) — sorted for
+    // cross-engine determinism
+    "q_agg_concat" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"lang")
+        .agg(concat_ws(" ",
+          array_sort(collect_list(format_string("%04d", $"doc_id"))))
+          .as("doc_ids"))
+        .orderBy($"lang")
+    }),
+
+    // A6: distinct-set accumulation (reference: ner_dataset.py:86-98
+    // tag-set build), emitted as a sorted joined string
+    "q_agg_collect_set" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"lang")
+        .agg(
+          concat_ws(",", sort_array(collect_set($"source"))).as("sources"),
+          countDistinct($"source").as("n_sources"))
+        .orderBy($"lang")
+    }),
+
+    // A13: average precision over a global ranking (reference:
+    // metrics.py:383-403) — distributed rank+cumsum, one exact division
+    // per positive, rounded sum (cross-engine reduction-order guard)
+    "q_agg_avg_precision" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_id", $"value",
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("label"))
+      val ranked = graft.plans.GlobalRank.withGlobalRankAndCumSum(
+        ev, "rank", "tp", $"label", Seq($"value".desc, $"event_id"), 4)
+      ranked
+        .agg(
+          round(sum(when($"label" === 1,
+            $"tp".cast("double") / $"rank").otherwise(0.0)) /
+            sum($"label"), 9).as("avg_precision"),
+          sum($"label").as("total_pos"))
+    }),
+
     // F15: scalar math projection (reference: topic_modeling.py:112-118)
     "q_scalar_math" -> ((s, d) => {
       import s.implicits._
@@ -423,6 +466,31 @@ object RelationalQueries {
          SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_agg_concat" ->
+      """SELECT lang,
+         string_agg(printf('%04d', doc_id), ' ' ORDER BY printf('%04d', doc_id))
+           AS doc_ids
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_agg_collect_set" ->
+      """SELECT lang,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+         COUNT(DISTINCT source) AS n_sources
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_agg_avg_precision" ->
+      """WITH ev AS (SELECT event_id, value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+           FROM events),
+         ranked AS (SELECT label,
+           ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rank,
+           SUM(label) OVER (ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+           FROM ev)
+         SELECT
+           ROUND(SUM(CASE WHEN label = 1
+               THEN CAST(tp AS DOUBLE) / rank ELSE 0.0 END) / SUM(label), 9)
+             AS avg_precision,
+           SUM(label) AS total_pos
+         FROM ranked""",
     "q_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
          ROUND(LN(l_extendedprice), 6) AS ln_price,

@@ -96,6 +96,35 @@ object SimilarityQueries {
         .orderBy($"query_id")
     }),
 
+    // J6: bi-encoder -> cross-encoder rerank (reference:
+    // ranking_pipeline.py:14-43): stage 1 cosine top-10 per query,
+    // stage 2 re-scores survivors with a different metric (squared L2)
+    // and keeps top-3
+    "q_ann_rerank" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"qe", $"embedding",
+          round(cosine($"qe", $"embedding"), 6).as("cos_sim"))
+      val w1 = Window.partitionBy($"query_id")
+        .orderBy($"cos_sim".desc, $"neighbor_id")
+      val stage1 = scored.withColumn("r1", row_number().over(w1))
+        .filter($"r1" <= 10)
+      val l2sq = round(
+        dot($"qe", $"qe") + dot($"embedding", $"embedding") -
+          lit(2.0) * dot($"qe", $"embedding"), 6)
+      val w2 = Window.partitionBy($"query_id")
+        .orderBy($"l2_sq".asc, $"neighbor_id")
+      stage1.withColumn("l2_sq", l2sq)
+        .withColumn("rank", row_number().over(w2))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"rank", $"neighbor_id", $"cos_sim", $"l2_sq")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // per-label embedding stats (round-before-aggregate => order-free)
     "q_embed_stats" -> ((s, d) => {
       import s.implicits._
@@ -162,6 +191,26 @@ object SimilarityQueries {
                ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM scored)
          WHERE rank = 1 ORDER BY query_id""",
+    "q_ann_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, __e FROM e WHERE vec_id % 25 = 0),
+         scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             $cosSql AS cos_sim,
+             ROUND(list_dot_product(q.__e, q.__e) +
+               list_dot_product(a.__e, a.__e) -
+               2.0 * list_dot_product(a.__e, q.__e), 6) AS l2_sq
+           FROM e a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+         stage1 AS (SELECT * FROM (
+           SELECT query_id, neighbor_id, cos_sim, l2_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS r1
+           FROM scored) WHERE r1 <= 10)
+         SELECT query_id, rank, neighbor_id, cos_sim, l2_sq FROM (
+           SELECT query_id, neighbor_id, cos_sim, l2_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY l2_sq ASC, neighbor_id) AS rank
+           FROM stage1) WHERE rank <= 3 ORDER BY query_id, rank""",
     "q_embed_stats" ->
       """WITH e AS (SELECT label,
            ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),

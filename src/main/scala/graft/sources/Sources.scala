@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source loaders (SURVEY.md §2.1) — each reference file-shape
+  * re-expressed as a declarative Spark read + column expressions, so
+  * pushdown/pruning work and no driver-side parsing loops exist.
+  */
+object Sources {
+
+  /** S1: TSV corpus scan — doc + tab-separated sentences per line
+    * (reference: src/dataset/dataset.py:152-165).
+    * Output: (doc: string, sentences: array<string>).
+    */
+  def tsvCorpus(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), "\t").as("cells"))
+      .filter(size(col("cells")) >= 1 && length(element_at(col("cells"), 1)) > 0)
+      .select(
+        element_at(col("cells"), 1).as("doc"),
+        slice(col("cells"), lit(2), greatest(size(col("cells")) - 1, lit(0)))
+          .as("sentences"))
+
+  /** S2: CSV-with-header STS scan — per-row `score/5.0` normalization +
+    * split filter (reference: src/dataset/sts_dataset.py:26-46).
+    */
+  def stsPairs(spark: SparkSession, path: String, split: String): DataFrame =
+    spark.read.option("header", "true").option("sep", ",").csv(path)
+      .filter(col("split") === split)
+      .select(
+        col("sent1"), col("sent2"),
+        (col("score").cast("double") / 5.0).as("label"))
+
+  /** S3: CoNLL scan — 2-column token/tag lines, blank-line sentence
+    * boundary (reference: src/dataset/ner_dataset.py:82-110). The
+    * stateful "current sentence" accumulation becomes a distributed
+    * running-count window over a monotonic line id: sentence id = count
+    * of blank lines seen so far.
+    */
+  def conll(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("line_id", monotonically_increasing_id())
+    // sentence id = running count of blank separator lines — a GLOBAL
+    // scan, done with the distributed two-pass cum-sum (plans.GlobalRank)
+    // instead of a single-partition Window.orderBy
+    graft.plans.GlobalRank.withGlobalRankAndCumSum(
+        lines, "__rn", "sent_id",
+        when(length(trim(col("value"))) === 0, 1L).otherwise(0L),
+        Seq(col("line_id")), 4)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("sent_id"),
+        split(col("value"), "\\s+").as("cells"), col("line_id"))
+      .groupBy(col("sent_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("line_id"),
+          col("cells")))), s => element_at(s("cells"), 1)).as("tokens"),
+        transform(array_sort(collect_list(struct(col("line_id"),
+          col("cells")))), s => element_at(s("cells"), 2)).as("tags"))
+  }
+
+  /** S4: gzip TSV parallel-pair scan with a row limit (reference:
+    * src/dataset/parallel_dataset.py:21-51; codec handled transparently
+    * by the datasource).
+    */
+  def parallelPairs(spark: SparkSession, path: String,
+      maxExamples: Int): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("sent1", "sent2")
+      .filter(col("sent1").isNotNull && col("sent2").isNotNull)
+      .limit(maxExamples)
+
+  /** S5: nested-JSON article scan — explode articles[], URL dedup,
+    * empty-text filter (reference: src/dataset/documents_dataset.py:63-110).
+    */
+  def jsonArticles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("articles")).as("a"))
+      .select(col("a.title"), col("a.text"), col("a.url"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .dropDuplicates("url")
+
+  /** S6: JSON-lines scan + broadcast allowlist semi-join (reference:
+    * src/dataset/wikipedia_dataset.py:66-107).
+    */
+  def jsonLinesAllowlist(spark: SparkSession, path: String,
+      allowedIds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(path)
+      .join(broadcast(allowedIds.toDF("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("title"), col("text"))
+  }
+
+  /** S9: embedding-file scan — `key v1..vd` rows collected into a
+    * broadcastable map (reference: src/utils/utils.py:270-302).
+    */
+  def embeddingMap(spark: SparkSession, path: String): Map[String, Array[Float]] =
+    spark.read.text(path)
+      .select(split(col("value"), " ").as("cells"))
+      .filter(size(col("cells")) > 1)
+      .select(
+        element_at(col("cells"), 1).as("key"),
+        slice(col("cells"), lit(2), size(col("cells")) - 1).as("vec"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[String](1).map(_.toFloat).toArray)
+      .toMap
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.Sources
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** Loader-shape coverage (SURVEY.md §2.1): fixtures synthesized under a
+  * temp dir (FIXTURES.md §4 load-or-build pattern).
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def write(dir: Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+  private lazy val dir = Files.createTempDirectory("graft_sources")
+
+  test("S1 TSV corpus: doc + tab-separated sentences") {
+    val p = write(dir, "corpus.tsv",
+      "doc one\tfirst sentence\tsecond sentence\ndoc two\tonly one\n")
+    val rows = Sources.tsvCorpus(spark, p).collect()
+    assert(rows.length == 2)
+    val d1 = rows.find(_.getString(0) == "doc one").get
+    assert(d1.getSeq[String](1) == Seq("first sentence", "second sentence"))
+  }
+
+  test("S2 STS pairs: score/5 normalization + split filter") {
+    val p = write(dir, "sts.csv",
+      "split,score,sent1,sent2\ntrain,4.0,a,b\ndev,2.5,c,d\ntrain,0.0,e,f\n")
+    val rows = Sources.stsPairs(spark, p, "train")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).sorted
+    assert(rows.toSeq == Seq(("a", 0.8), ("e", 0.0)))
+  }
+
+  test("S3 CoNLL: blank-line sentence boundaries, parallel token/tag arrays") {
+    val p = write(dir, "ner.conll",
+      "alice B-PER\nuses O\nspark B-SYS\n\nbob B-PER\nsleeps O\n")
+    val rows = Sources.conll(spark, p).collect()
+      .map(r => (r.getSeq[String](1), r.getSeq[String](2)))
+      .sortBy(_._1.head)
+    assert(rows.length == 2)
+    assert(rows(0) == (Seq("alice", "uses", "spark"),
+      Seq("B-PER", "O", "B-SYS")))
+    assert(rows(1) == (Seq("bob", "sleeps"), Seq("B-PER", "O")))
+  }
+
+  test("S4 gzip TSV parallel pairs with limit (codec transparent)") {
+    import java.util.zip.GZIPOutputStream
+    val p = dir.resolve("pairs.tsv.gz")
+    val os = new GZIPOutputStream(Files.newOutputStream(p))
+    os.write("hello\thallo\nworld\twelt\nspark\tfunke\n".getBytes("UTF-8"))
+    os.close()
+    val rows = Sources.parallelPairs(spark, p.toString, 2).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getString(0).nonEmpty && r.getString(1).nonEmpty))
+  }
+
+  test("S5 nested JSON articles: explode + url dedup + empty filter") {
+    val p = write(dir, "articles.json",
+      """{"articles": [
+        {"title": "t1", "text": "body one", "url": "u1"},
+        {"title": "t1dup", "text": "body dup", "url": "u1"},
+        {"title": "t2", "text": "", "url": "u2"},
+        {"title": "t3", "text": "body three", "url": "u3"}]}""")
+    val rows = Sources.jsonArticles(spark, p).collect()
+    assert(rows.map(_.getString(2)).sorted.toSeq == Seq("u1", "u3"))
+  }
+
+  test("S6 JSON-lines + broadcast allowlist semi-join") {
+    val p = write(dir, "wiki.jsonl",
+      """{"id": "1", "title": "A", "text": "aa"}
+        |{"id": "2", "title": "B", "text": "bb"}
+        |{"id": "3", "title": "C", "text": "cc"}""".stripMargin)
+    val rows = Sources.jsonLinesAllowlist(spark, p, Seq("1", "3")).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
+  }
+
+  test("S9 embedding-file scan -> broadcast map") {
+    val p = write(dir, "emb.txt", "key_a 0.5 0.5\nkey_b 1.0 0.0\n")
+    val m = Sources.embeddingMap(spark, p)
+    assert(m.keySet == Set("key_a", "key_b"))
+    assert(m("key_b").toSeq == Seq(1.0f, 0.0f))
+  }
+}
