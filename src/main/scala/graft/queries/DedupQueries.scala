@@ -93,10 +93,19 @@ object DedupQueries {
     // explode shingles, equi-join postings, count shared, exact ratio
     "q_dedup_jaccard" -> ((s, d) => {
       import s.implicits._
+      // postings materialized once (both join sides read it) and joined
+      // with SHUFFLE_HASH: the bigram key has few, huge groups — a
+      // sort-merge join pays two sorts plus per-key match buffering
+      // (measured 35s vs single-node DuckDB's 9s on the same query at
+      // sf0.1; shuffle-hash + materialized postings: 16s; a join-free
+      // posexplode+slice pair generator was tried and measured WORSE,
+      // 24s — Catalyst `slice` copies the array tail per element)
       val sh = t(s, d, "documents")
         .select($"doc_id", shingles.as("sh"))
         .select($"doc_id", size($"sh").as("n_sh"), explode($"sh").as("g"))
-      val shared = sh.alias("a").join(sh.alias("b"),
+        .localCheckpoint()
+      val shared = sh.alias("a")
+        .join(sh.alias("b").hint("shuffle_hash"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
           col("a.n_sh").as("na"), col("b.n_sh").as("nb"))

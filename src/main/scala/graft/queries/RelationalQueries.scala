@@ -221,6 +221,30 @@ object RelationalQueries {
             sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("pearson_r"))
     }),
 
+    // A14: Spearman correlation = Pearson over ranks (reference:
+    // metrics.py:359-381). Ranks are distinct (row_number with a key
+    // tiebreak — deterministic cross-engine), so all sums are exact
+    // integers and the final formula is one double expression.
+    "q_corr_spearman" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"event_id", $"value", $"user_id")
+      val rx = graft.plans.GlobalRank.withGlobalRowNumber(
+        ev, "rank_x", Seq($"value", $"event_id"), 4)
+      val both = graft.plans.GlobalRank.withGlobalRowNumber(
+        rx, "rank_y", Seq($"user_id", $"event_id"), 4)
+      val agg = both.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"rank_x").cast("double").as("sx"),
+        sum($"rank_y").cast("double").as("sy"),
+        sum($"rank_x" * $"rank_y").cast("double").as("sxy"),
+        sum($"rank_x" * $"rank_x").cast("double").as("sxx"),
+        sum($"rank_y" * $"rank_y").cast("double").as("syy"))
+      agg.select(
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("spearman_rho"))
+    }),
+
     // A12/A13: best-threshold sweep — one global ranking window, single
     // pass accumulating P/R/F1 (reference: metrics.py:276-314,417-447)
     "q_threshold_sweep" -> ((s, d) => {
@@ -437,6 +461,22 @@ object RelationalQueries {
            FROM lineitem)
          SELECT (n * sxy - sx * sy) /
            (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS pearson_r
+         FROM a""",
+    "q_corr_spearman" ->
+      """WITH r AS (SELECT
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rank_x,
+           ROW_NUMBER() OVER (ORDER BY user_id, event_id) AS rank_y
+           FROM events),
+         a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(rank_x) AS DOUBLE) AS sx,
+           CAST(SUM(rank_y) AS DOUBLE) AS sy,
+           CAST(SUM(rank_x * rank_y) AS DOUBLE) AS sxy,
+           CAST(SUM(rank_x * rank_x) AS DOUBLE) AS sxx,
+           CAST(SUM(rank_y * rank_y) AS DOUBLE) AS syy
+           FROM r)
+         SELECT (n * sxy - sx * sy) /
+           (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+             AS spearman_rho
          FROM a""",
     "q_threshold_sweep" ->
       """WITH ev AS (SELECT event_id, value,
