@@ -47,25 +47,31 @@ object Bench {
     s
   }
 
-  /** One timed KG run; returns (wallSec, triples). */
+  /** One timed KG run; returns (wallSec, triples). `staged = true`
+    * forces the large-gazetteer join path — the configuration a
+    * 10^12-turn cluster run would use (a production gazetteer does not
+    * fit a per-executor Set), and therefore the one whose scaling is
+    * measured.
+    */
   private def kgRun(spark: SparkSession, turnsPath: String,
-      cpus: Int): (Double, Long) = {
+      cpus: Int, staged: Boolean = false): (Double, Long) = {
     val turns = spark.read.parquet(turnsPath)
     val t0 = System.nanoTime()
-    val n = KgPipeline.run(spark, turns, shufflePartitions = cpus)
+    val n = KgPipeline.run(spark, turns, shufflePartitions = cpus,
+      gazetteerFastPathMax = if (staged) 0 else KgPipeline.GazetteerFastPathMax)
       .triples.count()
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
   /** warmup on the small corpus, then min wall of `reps` timed runs —
-    * single-shot walls on this sandbox swing ~2x (shared host), min-of-2
+    * single-shot walls on this sandbox swing ~2x (shared host), min-of-N
     * after JIT warmup is stable.
     */
   private def measure(cpus: Int, turnsPath: String, warmupPath: String,
-      reps: Int = 2): (Double, Long) = {
+      staged: Boolean, reps: Int = 2): (Double, Long) = {
     val s = session(cpus)
-    kgRun(s, warmupPath, cpus)
-    val runs = (1 to reps).map(_ => kgRun(s, turnsPath, cpus))
+    kgRun(s, warmupPath, cpus, staged)
+    val runs = (1 to reps).map(_ => kgRun(s, turnsPath, cpus, staged))
     s.stop()
     (runs.map(_._1).min, runs.head._2)
   }
@@ -104,15 +110,29 @@ object Bench {
     kgRun(hi, warmupPath, cpusHi) // JIT warmup at 1/10 size
     val runsHi = (1 to 2).map(_ => kgRun(hi, turnsPath, cpusHi))
     val (tHi, triples) = (runsHi.map(_._1).min, runsHi.head._2)
+    // SMT-pair reference at full parallelism, staged (scale) path
+    val (tHiStaged, _) = kgRun(hi, turnsPath, cpusHi, staged = true)
     hi.stop()
 
-    // ---- scaling pair: same input, same job, N and 4N cores
-    val (t8, _) = measure(scaleHi, turnsPath, warmupPath)
-    val (t2, _) = measure(scaleLo, turnsPath, warmupPath)
+    // ---- scaling pair: same input, same job, N and 4N cores, on the
+    // STAGED (large-gazetteer join) path — the configuration a real
+    // multi-executor 10^12-turn run uses. Levels are INTERLEAVED
+    // (hi, lo, hi, lo) so a noisy-host window (shared hypervisor, walls
+    // swing ~2x) hits both levels, and min-per-level compares two quiet
+    // samples.
+    val rounds = (1 to 2).map { _ =>
+      val hiT = measure(scaleHi, turnsPath, warmupPath, staged = true,
+        reps = 1)._1
+      val loT = measure(scaleLo, turnsPath, warmupPath, staged = true,
+        reps = 1)._1
+      (hiT, loT)
+    }
+    val t8 = rounds.map(_._1).min
+    val t2 = rounds.map(_._2).min
 
     def tput(t: Double) = triples / t
     val eff = (tput(t8) / tput(t2)) / (scaleHi.toDouble / scaleLo)
-    val effSmt = (tput(tHi) / tput(t8)) / (cpusHi.toDouble / scaleHi)
+    val effSmt = (tput(tHiStaged) / tput(t8)) / (cpusHi.toDouble / scaleHi)
     val qJson = queryTimes
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
@@ -123,6 +143,7 @@ object Bench {
         s""""kg":{"triples":$triples,"wall_sec":${f"$tHi%.3f"},""" +
         s""""triples_per_sec":${f"${tput(tHi)}%.1f"},"cpus":$cpusHi},""" +
         s""""scaling":{"cpus_lo":$scaleLo,"cpus_hi":$scaleHi,""" +
+        s""""path":"staged-join (scale configuration)",""" +
         s""""tput_lo":${f"${tput(t2)}%.1f"},"tput_hi":${f"${tput(t8)}%.1f"},""" +
         s""""efficiency":${f"$eff%.3f"},""" +
         s""""smt_pair":{"cpus_lo":$scaleHi,"cpus_hi":$cpusHi,""" +

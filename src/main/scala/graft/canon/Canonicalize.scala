@@ -133,23 +133,49 @@ object Canonicalize {
     */
   val LocalComponentsMaxEdges = 100000L
 
+  /** Below this many entities, canonicalization runs entirely
+    * driver-side with EXACT all-pairs Jaccard (O(n^2) is affordable; LSH
+    * banding exists to avoid the quadratic pair space at scale) plus
+    * local union-find — saving several fixed-latency Spark jobs per
+    * pipeline run. The distributed LSH + iterative-CC path is forced in
+    * tests via localMaxEntities = 0.
+    */
+  val LocalCanonMaxEntities = 10000
+
   /** Full canonicalization: Seq[Entity] -> (entity_id, canonical_id). */
   def canonicalMap(
       spark: SparkSession,
       entities: Seq[Entity],
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      localMaxEntities: Int = LocalCanonMaxEntities): DataFrame = {
     import spark.implicits._
-    val surf = entities
-      .map(e => (e.entity_id, e.canonical +: e.aliases))
-      .toDF("entity_id", "surfaces")
-    val edges = candidateEdges(spark, surf, jaccardThreshold)
-      .localCheckpoint()
-    if (edges.count() <= LocalComponentsMaxEdges) {
-      val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
-      val comp = localUnionFind(entities.map(_.entity_id), pairs)
-      comp.toSeq.toDF("entity_id", "canonical_id")
+    if (entities.size <= localMaxEntities) {
+      // same shingle spec as TextOps.charShingles / Embed.ngrams
+      val sh = entities.map { e =>
+        e.entity_id ->
+          (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams).toSet
+      }.toMap
+      val ids = entities.map(_.entity_id)
+      val edges = for {
+        a <- ids; b <- ids if a < b
+        ja = sh(a); jb = sh(b)
+        if ja.intersect(jb).size.toDouble / ja.union(jb).size >=
+          jaccardThreshold
+      } yield (a, b)
+      localUnionFind(ids, edges).toSeq.toDF("entity_id", "canonical_id")
     } else {
-      connectedComponents(spark, surf.select($"entity_id"), edges)
+      val surf = entities
+        .map(e => (e.entity_id, e.canonical +: e.aliases))
+        .toDF("entity_id", "surfaces")
+      val edges = candidateEdges(spark, surf, jaccardThreshold)
+        .localCheckpoint()
+      if (edges.count() <= LocalComponentsMaxEdges) {
+        val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+        val comp = localUnionFind(entities.map(_.entity_id), pairs)
+        comp.toSeq.toDF("entity_id", "canonical_id")
+      } else {
+        connectedComponents(spark, surf.select($"entity_id"), edges)
+      }
     }
   }
 

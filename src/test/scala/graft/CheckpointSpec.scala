@@ -19,8 +19,10 @@ class CheckpointSpec extends AnyFunSuite {
     val turns = TranscriptGen.transcripts(spark, nConvs = 30,
       turnsPerConv = 6, hotTurns = 0, partitions = 2).toDF()
 
+    // force the staged (large-gazetteer) path so multi-stage resume is
+    // exercised; the fast path has fewer stages but the same mechanism
     val first = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
-      shufflePartitions = 2)
+      shufflePartitions = 2, gazetteerFastPathMax = 0)
     val firstTriples = first.triples.collect().toSet
     assert(first.stats.nonEmpty && first.stats.forall(!_.skipped))
 
@@ -33,7 +35,7 @@ class CheckpointSpec extends AnyFunSuite {
     assert(Checkpoint.wasCommitted(spark, root, "turn_spans"))
 
     val second = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
-      shufflePartitions = 2)
+      shufflePartitions = 2, gazetteerFastPathMax = 0)
     val byName = second.stats.map(s => s.name -> s.skipped).toMap
     assert(byName("turn_spans"), "turn_spans should be resumed, not rerun")
     assert(byName("triples"), "triples should be resumed, not rerun")
@@ -47,7 +49,7 @@ class CheckpointSpec extends AnyFunSuite {
     val turns = TranscriptGen.transcripts(spark, nConvs = 10,
       turnsPerConv = 4, hotTurns = 0, partitions = 2).toDF()
     KgPipeline.run(spark, turns, checkpointRoot = Some(root),
-      shufflePartitions = 2).triples.count()
+      shufflePartitions = 2, gazetteerFastPathMax = 0).triples.count()
     val manifest = Files.readString(
       java.nio.file.Paths.get(root, "triples", "_manifest.json"))
     assert(manifest.contains(""""stage":"triples""""))

@@ -55,10 +55,16 @@ class KgPipelineSpec extends AnyFunSuite {
   }
 
   test("canonicalization (LSH + connected components) matches exact oracle") {
-    val got = graft.canon.Canonicalize.canonicalMap(spark, Vocab.entities)
+    // force the DISTRIBUTED path (localMaxEntities = 0); the driver-local
+    // fast path is compared against it below
+    val got = graft.canon.Canonicalize.canonicalMap(spark, Vocab.entities,
+        localMaxEntities = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val expected = ReferenceOracle.canonicalMap(Vocab.entities)
     assert(got == expected)
+    val local = graft.canon.Canonicalize.canonicalMap(spark, Vocab.entities)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == expected)
     // the fixture must contain at least one real merge
     assert(expected.exists { case (k, v) => k != v },
       "no coreferent entities merged — canon fixture too weak")
@@ -92,6 +98,16 @@ class KgPipelineSpec extends AnyFunSuite {
     def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
     assert(fused.map(key).toSet == unfused.map(key).toSet)
     assert(fused.length == unfused.length)
+  }
+
+  test("fast path (per-row) == staged path (Catalyst candidates) in run()") {
+    def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
+    val fast = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4)
+      .triples.collect()
+    val staged = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4,
+      gazetteerFastPathMax = 0).triples.collect()
+    assert(fast.map(key).toSet == staged.map(key).toSet)
+    assert(fast.length == staged.length)
   }
 
   test("hot conversation is present and yields triples (skew path)") {
