@@ -37,6 +37,47 @@ object TurnExtract {
       turn_idx: Int,
       spans: Seq[Span])
 
+  /** In-task per-partition extraction metrics (north rule: "mentions/sec,
+    * triples/partition" written alongside each commit). Collected via a
+    * CollectionAccumulator passed from KgPipeline; a sentinel iterator
+    * records once when the partition drains.
+    */
+  final case class PartitionMetrics(
+      partition: Int, turns: Long, linked_mentions: Long, triples: Long,
+      wall_nanos: Long) {
+    def mentionsPerSec: Double =
+      if (wall_nanos > 0) linked_mentions * 1e9 / wall_nanos else 0.0
+    def json: String =
+      s"""{"partition":$partition,"turns":$turns,""" +
+        s""""linked_mentions":$linked_mentions,"triples":$triples,""" +
+        s""""wall_nanos":$wall_nanos,""" +
+        f""""mentions_per_sec":$mentionsPerSec%.1f}"""
+  }
+
+  /** wraps a partition iterator: counts turns/mentions/triples and
+    * records once when drained.
+    */
+  private final class Recorder(
+      acc: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]]) {
+    private val t0 = System.nanoTime()
+    var turns = 0L
+    var mentions = 0L
+    var triples = 0L
+    private var recorded = false
+    def sentinel[T]: Iterator[T] = new Iterator[T] {
+      override def hasNext: Boolean = {
+        if (!recorded) {
+          recorded = true
+          acc.foreach(_.add(PartitionMetrics(
+            org.apache.spark.TaskContext.getPartitionId(), turns, mentions,
+            triples, System.nanoTime() - t0)))
+        }
+        false
+      }
+      override def next(): T = throw new NoSuchElementException
+    }
+  }
+
   /** Core per-turn semantics, shared by the batch (span-group) and
     * streaming (per-row) entry points; the sequential restatement lives
     * independently in graft.oracle.ReferenceOracle.
@@ -46,7 +87,9 @@ object TurnExtract {
       turnIdx: Int,
       allSpans: Seq[Span],
       scorer: EntityLink.Scorer,
-      preds: Map[String, String]): Iterator[Triple] = {
+      preds: Map[String, String],
+      rec: Recorder): Iterator[Triple] = {
+    rec.turns += 1
     val spans = allSpans.sortBy(s => (s.token_pos, s.token_len))
     // bigram-wins overlap resolution (mirrors ReferenceOracle)
     val covered = spans.iterator
@@ -61,12 +104,14 @@ object TurnExtract {
         (m.token_pos, m.token_len, id, score)
       }
     }
+    rec.mentions += linked.size
     linked.sliding(2).flatMap {
       case Seq((pos1, len1, id1, s1), (pos2, _, id2, s2)) =>
         val gapStart = pos1 + len1
         predSpans
           .find(p => p.token_pos >= gapStart && p.token_pos < pos2)
           .map { p =>
+            rec.triples += 1
             Triple(convId, turnIdx, id1, preds(p.surface), id2,
               math.min(s1, s2))
           }
@@ -79,7 +124,9 @@ object TurnExtract {
       turnSpans: DataFrame,
       entities: Seq[Entity],
       minScore: Double,
-      predicates: Map[String, String]): Dataset[Triple] = {
+      predicates: Map[String, String],
+      metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None)
+      : Dataset[Triple] = {
     import spark.implicits._
     val bcIndex = spark.sparkContext.broadcast(EntityLink.buildIndex(entities))
     val bcPreds = spark.sparkContext.broadcast(predicates)
@@ -89,7 +136,10 @@ object TurnExtract {
       // reused inference session across batches)
       val scorer = new EntityLink.Scorer(bcIndex.value, minScore)
       val preds = bcPreds.value
-      it.flatMap(t => extract(t.conv_id, t.turn_idx, t.spans, scorer, preds))
+      val rec = new Recorder(metrics)
+      it.flatMap(t =>
+        extract(t.conv_id, t.turn_idx, t.spans, scorer, preds, rec)) ++
+        rec.sentinel
     }
   }
 
@@ -109,7 +159,9 @@ object TurnExtract {
       gazetteer: Seq[String],
       entities: Seq[Entity],
       minScore: Double,
-      predicates: Map[String, String]): Dataset[TimedTriple] = {
+      predicates: Map[String, String],
+      metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None)
+      : Dataset[TimedTriple] = {
     import spark.implicits._
     val bcIndex = spark.sparkContext.broadcast(EntityLink.buildIndex(entities))
     val bcPreds = spark.sparkContext.broadcast(predicates)
@@ -122,6 +174,7 @@ object TurnExtract {
       val scorer = new EntityLink.Scorer(bcIndex.value, minScore)
       val preds = bcPreds.value
       val (gazUni, gazBi) = (bcGazUni.value, bcGazBi.value)
+      val rec = new Recorder(metrics)
       it.flatMap { t =>
         val toks = graft.text.TextOps.tokenizeString(t.text)
         val spans = Seq.newBuilder[Span]
@@ -138,10 +191,10 @@ object TurnExtract {
           }
           i += 1
         }
-        extract(t.conv_id, t.turn_idx, spans.result(), scorer, preds)
+        extract(t.conv_id, t.turn_idx, spans.result(), scorer, preds, rec)
           .map(tr => TimedTriple(tr.conv_id, tr.turn_idx, tr.subj, tr.pred,
             tr.obj, tr.score, t.ts))
-      }
+      } ++ rec.sentinel
     }
   }
 }

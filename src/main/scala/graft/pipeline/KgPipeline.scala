@@ -28,7 +28,12 @@ object KgPipeline {
       triples: Dataset[Triple],
       nodes: Dataset[NodeRow],
       edges: Dataset[EdgeRow],
-      stats: Seq[Checkpoint.StageStats])
+      stats: Seq[Checkpoint.StageStats],
+      /** in-task per-partition extraction metrics; populated after the
+        * first action that executes the triples stage (north rule:
+        * mentions/sec + triples/partition alongside each commit)
+        */
+      extractionMetrics: () => Seq[TurnExtract.PartitionMetrics])
 
   /** Gazetteer-size cutoff for the per-row fast path: below it the whole
     * extraction (candidate spans + gazetteer probe + resolution + link +
@@ -51,7 +56,14 @@ object KgPipeline {
       predicates: Map[String, String] = Vocab.predicates,
       checkpointRoot: Option[String] = None,
       shufflePartitions: Int = 32,
-      gazetteerFastPathMax: Int = GazetteerFastPathMax): Result = {
+      gazetteerFastPathMax: Int = GazetteerFastPathMax,
+      // gazetteer defaults to the surfaces of the provided entity index
+      // (1-2 token phrases); pass explicitly to widen/narrow detection
+      gazetteer: Seq[String] = null): Result = {
+    val gaz = Option(gazetteer).getOrElse(
+      entities.flatMap(e => e.canonical +: e.aliases)
+        .map(_.toLowerCase).distinct.sorted
+        .filter(_.split(" ").length <= 2))
     import spark.implicits._
 
     // North-rule physical contract: ONE explicit hash repartition at
@@ -73,6 +85,9 @@ object KgPipeline {
     val turnsP = turns.repartition(shufflePartitions,
       turns("conv_id"), turns("turn_idx"))
 
+    val extractionAcc = spark.sparkContext
+      .collectionAccumulator[TurnExtract.PartitionMetrics]("graft.extraction")
+
     val stats = scala.collection.mutable.ArrayBuffer[Checkpoint.StageStats]()
     def stage(name: String, inputs: Seq[String])(f: => DataFrame): DataFrame =
       checkpointRoot match {
@@ -83,13 +98,13 @@ object KgPipeline {
         case None => f
       }
 
-    val rawTriples = (if (Vocab.gazetteer.size <= gazetteerFastPathMax) {
+    val rawTriples = (if (gaz.size <= gazetteerFastPathMax) {
       // fast path: whole extraction in one shuffle-free pooled
       // mapPartitions pass (north-star shape; gazetteer as broadcast Set)
       stage("triples", Seq("turns", "gazetteer", "entity_index")) {
         import spark.implicits._
         TurnExtract.timedTriplesFromTurns(spark, turnsP.as[Turn],
-            Vocab.gazetteer, entities, minLinkScore, predicates)
+            gaz, entities, minLinkScore, predicates, Some(extractionAcc))
           .drop("ts")
       }
     } else {
@@ -100,12 +115,11 @@ object KgPipeline {
       // TripleExtract.triples) also remain as standalone library
       // operators; all paths asserted equivalent in KgPipelineSpec.
       val spans = stage("turn_spans", Seq("turns", "gazetteer")) {
-        MentionDetect.spanCandidates(spark, turnsP, Vocab.gazetteer,
-          predicates)
+        MentionDetect.spanCandidates(spark, turnsP, gaz, predicates)
       }
       stage("triples", Seq("turn_spans", "entity_index")) {
         TurnExtract.triples(spark, spans, entities, minLinkScore,
-          predicates).toDF()
+          predicates, Some(extractionAcc)).toDF()
       }
     }).as[Triple]
 
@@ -125,7 +139,23 @@ object KgPipeline {
       Materialize.edges(spark, relabeled).toDF()
     }.as[EdgeRow]
 
-    Result(relabeled, nodes, edges, stats.toSeq)
+    val metricsFn = () => {
+      import scala.jdk.CollectionConverters._
+      extractionAcc.value.asScala.toSeq.sortBy(_.partition)
+    }
+    // extraction metrics land alongside the commits (the triples stage
+    // has already run an action when checkpointing is on)
+    checkpointRoot.foreach { root =>
+      val m = metricsFn()
+      if (m.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(root, "extraction_metrics.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(p, true)
+        os.write(m.map(_.json).mkString("[", ",", "]").getBytes("UTF-8"))
+        os.close()
+      }
+    }
+    Result(relabeled, nodes, edges, stats.toSeq, metricsFn)
   }
 
   /** Materialize the graph into snapshot-committed node/edge tables

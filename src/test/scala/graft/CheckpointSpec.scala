@@ -48,14 +48,25 @@ class CheckpointSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_ckpt2").toString
     val turns = TranscriptGen.transcripts(spark, nConvs = 10,
       turnsPerConv = 4, hotTurns = 0, partitions = 2).toDF()
-    KgPipeline.run(spark, turns, checkpointRoot = Some(root),
-      shufflePartitions = 2, gazetteerFastPathMax = 0).triples.count()
+    val result = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2, gazetteerFastPathMax = 0)
+    result.triples.count()
     val manifest = Files.readString(
       java.nio.file.Paths.get(root, "triples", "_manifest.json"))
     assert(manifest.contains(""""stage":"triples""""))
     assert(manifest.contains(""""lineage":["turn_spans","entity_index"]"""))
     assert(manifest.contains(""""per_partition":["""))
     assert(manifest.contains(""""rows_per_sec":"""))
+    // in-task extraction metrics: committed alongside and consistent
+    val em = result.extractionMetrics()
+    assert(em.nonEmpty)
+    assert(em.map(_.triples).sum ==
+      result.triples.count())
+    assert(em.forall(m => m.wall_nanos > 0))
+    val emJson = Files.readString(
+      java.nio.file.Paths.get(root, "extraction_metrics.json"))
+    assert(emJson.contains(""""mentions_per_sec":"""))
+    assert(emJson.contains(""""triples":"""))
   }
 
   test("interrupted commit leaves no half-visible stage (tmp then rename)") {
