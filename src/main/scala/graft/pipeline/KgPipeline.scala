@@ -13,14 +13,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** End-to-end KG construction (SURVEY.md §7.2, north rule):
   *
-  *   turns --mention detect--> mentions --pooled-scorer link--> linked
-  *   --window pattern--> triples --LSH canon + connected components-->
-  *   relabeled triples --> node/edge tables
+  *   turns --mention detect--> spans --pooled-scorer link + pattern
+  *   pairing--> triples --LSH canon + connected components--> relabeled
+  *   triples --> node/edge tables (TableIO snapshots via materialize)
   *
   * All stages are Dataset/DataFrame + Catalyst (no RDD API); the only
   * imperative region is the pooled scorer inside `mapPartitions`
-  * (EntityLink), mirroring the reference's reused inference session
-  * (search_pipeline.py:192-194).
+  * (TurnExtract), mirroring the reference's reused inference session
+  * (search_pipeline.py:192-194). Extraction picks between two physical
+  * paths by gazetteer size (see GazetteerFastPathMax); both are tested
+  * equivalent. Stage checkpointing, per-partition extraction metrics,
+  * and lineage manifests come from graft.ckpt.Checkpoint plus the
+  * CollectionAccumulator wired here.
   */
 object KgPipeline {
 
