@@ -34,14 +34,8 @@ object TextQueries {
     // F1/F4/F10 + fingerprint: per-doc token stats + md5 fingerprint
     "q_text_stats" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents").select(
-        $"doc_id",
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"),
-        (aggregate(toks, lit(0L), (acc, x) => acc + length(x))
-          .cast("double") / size(toks)).as("mean_word_len"),
-        md5($"text".cast("binary")).as("fingerprint"))
-        .orderBy($"doc_id")
+      graft.text.TextAnalysis.fingerprint(t(s, d, "documents"),
+        "doc_id", "text").orderBy($"doc_id")
     }),
 
     // F4 + A: corpus term frequencies, top 25
@@ -58,63 +52,25 @@ object TextQueries {
     // (reference: topic_modeling.py:106-118)
     "q_text_ctfidf" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
-      val terms = docs.select($"lang", explode(toks).as("term"))
-      val grouped = terms.groupBy($"lang", $"term")
-        .agg(count(lit(1)).as("cnt"))
-      val totals = grouped.groupBy($"lang")
-        .agg(sum($"cnt").as("lang_total"))
-      val dfreq = grouped.groupBy($"term")
-        .agg(countDistinct($"lang").as("df"))
-      val nLangs = docs.select(countDistinct($"lang").as("n_langs"))
-      val scored = grouped
-        .join(broadcast(totals), "lang")
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(nLangs))
-        .withColumn("tf", $"cnt".cast("double") / $"lang_total")
-        .withColumn("ctfidf",
-          $"tf" * log(lit(1.0) + $"n_langs".cast("double") / $"df"))
-      val w = Window.partitionBy($"lang").orderBy($"ctfidf".desc, $"term")
-      scored.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
-        .select($"lang", $"rn", $"term", $"cnt",
-          round($"ctfidf", 6).as("ctfidf"))
-        .orderBy($"lang", $"rn")
+      graft.text.TextAnalysis.cTfIdf(t(s, d, "documents"),
+        "lang", "text", topK = 5).orderBy($"lang", $"rn")
     }),
 
     // quality scoring: stopword ratio + type/token ratio composite
     "q_text_quality" -> ((s, d) => {
       import s.implicits._
-      val nStop = size(filter(toks, x => x.isin(stopwords: _*)))
-      val nTok = size(toks)
-      val stopRatio = nStop.cast("double") / nTok
-      val ttr = size(array_distinct(toks)).cast("double") / nTok
-      t(s, d, "documents").select(
-        $"doc_id",
-        stopRatio.as("stop_ratio"),
-        ttr.as("type_token_ratio"),
-        round((lit(1.0) - stopRatio) * lit(0.4) + ttr * lit(0.6), 6)
-          .as("quality"))
-        .orderBy($"doc_id")
+      graft.text.TextAnalysis.qualityScore(t(s, d, "documents"),
+        "doc_id", "text", stopwords).orderBy($"doc_id")
     }),
 
     // language-ID by marker-token argmax (ties -> lang asc)
     "q_text_lang_id" -> ((s, d) => {
       import s.implicits._
-      val scores = langMarkers.map { case (lang, markers) =>
-        struct(
-          size(filter(toks, x => x.isin(markers: _*))).as("score"),
-          lit(lang).as("cand"))
-      }
-      val exploded = t(s, d, "documents")
-        .select($"doc_id", $"lang", explode(array(scores: _*)).as("s"))
-        .select($"doc_id", $"lang", $"s.score", $"s.cand")
-      val w = Window.partitionBy($"doc_id")
-        .orderBy($"score".desc, $"cand")
-      exploded.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"doc_id", $"cand".as("pred_lang"),
-          ($"cand" === $"lang").as("is_match"))
+      val docs = t(s, d, "documents")
+      graft.text.TextAnalysis.languageId(docs, "doc_id", "text", langMarkers)
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .select($"doc_id", $"pred_lang",
+          ($"pred_lang" === $"lang").as("is_match"))
         .orderBy($"doc_id")
     }),
 
@@ -131,13 +87,8 @@ object TextQueries {
     // (ceil(len/4) pieces per token)
     "q_text_token_count" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents").select(
-        $"doc_id",
-        size(split($"text", " ")).as("ws_tokens"),
-        aggregate(toks, lit(0L),
-          (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
-          .as("bpe_pieces"))
-        .orderBy($"doc_id")
+      graft.text.TextAnalysis.tokenCounts(t(s, d, "documents"),
+        "doc_id", "text").orderBy($"doc_id")
     }),
   )
 
