@@ -59,17 +59,8 @@ object SimilarityQueries {
     "q_ann_brute" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val q = emb.filter($"vec_id" % 25 === 0)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      val joined = emb.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          round(cosine($"qe", $"embedding"), 6).as("cos_sim"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"cos_sim".desc, $"neighbor_id")
-      joined.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 3)
-        .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+      graft.similarity.Similarity.bruteForceTopK(
+          emb, emb.filter($"vec_id" % 25 === 0), "vec_id", "embedding", 3)
         .orderBy($"query_id", $"rank")
     }),
 
@@ -77,25 +68,19 @@ object SimilarityQueries {
     "q_ann_lsh_bucket" -> ((s, d) => {
       import s.implicits._
       t(s, d, "embeddings")
-        .select($"vec_id", bucket($"embedding").as("bucket"))
+        .select($"vec_id",
+          graft.similarity.Similarity.lshBucket($"embedding", NumPlanes, 64)
+            .as("bucket"))
         .orderBy($"vec_id")
     }),
 
     // LSH-blocked top-1: equi-join on bucket, cosine only within block
     "q_ann_lsh_topk" -> ((s, d) => {
       import s.implicits._
-      val b = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding", bucket($"embedding").as("bucket"))
-      val q = b.filter($"vec_id" % 25 === 0)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
-      val joined = b.join(q, "bucket")
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          round(cosine($"qe", $"embedding"), 6).as("cos_sim"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"cos_sim".desc, $"neighbor_id")
-      joined.withColumn("rank", row_number().over(w))
-        .filter($"rank" === 1)
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Similarity.lshTopK(
+          emb, emb.filter($"vec_id" % 25 === 0), "vec_id", "embedding",
+          k = 1, numPlanes = NumPlanes, dims = 64)
         .select($"query_id", $"neighbor_id", $"cos_sim")
         .orderBy($"query_id")
     }),
