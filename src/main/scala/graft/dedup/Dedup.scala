@@ -84,13 +84,20 @@ object Dedup {
       .select(col(id), shingles(col(text), shingleN).as("sh"))
       .select(col(id), size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
       .localCheckpoint()
+    // aggregate on the narrow (src, dst) pair only; per-doc shingle
+    // counts rejoin via two broadcast lookups afterwards (the pair
+    // aggregation is the 10M+-row shuffle — narrower rows, cheaper)
+    val sizes = sh.groupBy(col(id)).agg(first(col("n_sh")).as("n_sh"))
     val shared = sh.alias("a")
       .join(sh.alias("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
       .agg(count(lit(1)).as("common"))
     shared
+      .join(broadcast(sizes.select(col(id).as("src"), col("n_sh").as("na"))),
+        "src")
+      .join(broadcast(sizes.select(col(id).as("dst"), col("n_sh").as("nb"))),
+        "dst")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")))
