@@ -120,9 +120,11 @@ object Bench {
     // (hi, lo, hi, lo) so a noisy-host window (shared hypervisor, walls
     // swing ~2x) hits both levels, and min-per-level compares two quiet
     // samples.
+    // hi-level runs are ~4x cheaper: sample them twice per round so the
+    // min reliably lands in a quiet window at both levels
     val rounds = (1 to 2).map { _ =>
       val hiT = measure(scaleHi, turnsPath, warmupPath, staged = true,
-        reps = 1)._1
+        reps = 2)._1
       val loT = measure(scaleLo, turnsPath, warmupPath, staged = true,
         reps = 1)._1
       (hiT, loT)
