@@ -31,7 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalize {
 
-  val NumHashes = 16
+  /** LSH parameters. Candidate recall for a pair at true Jaccard s is
+    * 1 - (1 - s^BandRows)^(NumHashes/BandRows); with 32 hashes in 16
+    * bands of 2 that is 0.990 at s = 0.5 (the default verify threshold)
+    * and 0.9992 at s = 0.6. CONTRACT: the distributed path is
+    * approximate-by-construction — it can miss a candidate pair sitting
+    * exactly at the threshold with probability (1-s^2)^16, while the
+    * small-input local path is exact all-pairs. Tests that pin
+    * local == distributed do so on a fixed vocabulary where the miss
+    * set is empty (deterministic for fixed md5 inputs); callers needing
+    * guaranteed-exact edges at scale should use
+    * graft.dedup.Dedup.jaccardPairs' prefix-filter scheme instead.
+    */
+  val NumHashes = 32
   val BandRows = 2
 
   /** (entity_id, surfaces array) -> exploded (entity_id, band) LSH keys. */
@@ -139,8 +151,17 @@ object Canonicalize {
     * local union-find — saving several fixed-latency Spark jobs per
     * pipeline run. The distributed LSH + iterative-CC path is forced in
     * tests via localMaxEntities = 0.
+    *
+    * Cutoff measured with graft.tools.CanonCrossover (local[4], alias
+    * vocabulary with ~n/5 merge clusters): driver-local all-pairs costs
+    * ~1-3 s at n=1000 and ~5-6 s at n=2000 (single-threaded n^2/2 set
+    * intersections), while the distributed path's floor is its several
+    * fixed-latency jobs (~2-5 s quiet-host). Past ~2k entities the
+    * driver loop is the bottleneck at exactly the scale users stop
+    * noticing — the old 10k cutoff implied ~5*10^7 intersections
+    * (minutes of driver wall).
     */
-  val LocalCanonMaxEntities = 10000
+  val LocalCanonMaxEntities = 2000
 
   /** Full canonicalization: Seq[Entity] -> (entity_id, canonical_id). */
   def canonicalMap(

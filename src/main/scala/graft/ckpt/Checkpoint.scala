@@ -11,17 +11,31 @@ import org.apache.spark.sql.functions._
   * search_pipeline.py:106-109; best-checkpoint save, train.py:94-109):
   *
   *   - each stage owns `<root>/<name>`; if a prior run committed it
-  *     (parquet `_SUCCESS` + `manifest.json` present) the stage is SKIPPED
-  *     and its output is read back — resume is therefore per-stage, and
-  *     within a stage per-partition via parquet task commits
+  *     (parquet `_SUCCESS` + `_manifest.json` present, with a MATCHING
+  *     input fingerprint) the stage is SKIPPED and its output is read
+  *     back — resume is therefore per-stage, and within a stage
+  *     per-partition via parquet task commits. A manifest whose recorded
+  *     fingerprint differs from the caller's (inputs or parameters
+  *     changed since the commit) forces a recompute instead of silently
+  *     returning stale data.
   *   - commit protocol: write to `<dir>.tmp`, then atomic rename — a
   *     killed run never leaves a half-visible stage
-  *   - every commit writes `manifest.json`: lineage (named inputs),
-  *     row count, partition count, wall ms, rows/sec, and per-partition
-  *     row counts (the "triples/partition, mentions/sec" metrics of the
-  *     north rule)
+  *   - every commit writes `_manifest.json` (underscore prefix so
+  *     spark.read.parquet ignores it): lineage (named inputs), input
+  *     fingerprint, row count, partition count, wall ms, rows/sec, and
+  *     per-partition row counts (the "triples/partition, mentions/sec"
+  *     metrics of the north rule)
   */
 object Checkpoint {
+
+  /** minimal JSON string escaping for interpolated values. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   final case class StageStats(
       name: String,
@@ -30,18 +44,24 @@ object Checkpoint {
       wallMs: Long,
       skipped: Boolean)
 
-  /** Run (or resume) one named stage. */
+  /** Run (or resume) one named stage. `fingerprint` identifies the
+    * stage's inputs + parameters (callers hash whatever determines the
+    * output); a committed stage is only reused when its recorded
+    * fingerprint matches.
+    */
   def stage(
       spark: SparkSession,
       root: String,
       name: String,
-      lineageInputs: Seq[String])(compute: => DataFrame): (DataFrame, StageStats) = {
+      lineageInputs: Seq[String],
+      fingerprint: String = "")(compute: => DataFrame): (DataFrame, StageStats) = {
     val dir = new Path(root, name)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(dir, "_manifest.json")
     val success = new Path(dir, "_SUCCESS")
 
-    if (fs.exists(manifest) && fs.exists(success)) {
+    if (fs.exists(manifest) && fs.exists(success) &&
+        readManifestFingerprint(fs, manifest).contains(esc(fingerprint))) {
       val df = spark.read.parquet(dir.toString)
       (df, StageStats(name, -1L, df.rdd.getNumPartitions, 0L, skipped = true))
     } else {
@@ -67,9 +87,11 @@ object Checkpoint {
       val total = pp.map(_.getLong(1)).sum
       val wallMs = (System.nanoTime() - t0) / 1000000
       val rowsPerSec = if (wallMs > 0) total * 1000.0 / wallMs else 0.0
-      val lineage = lineageInputs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+      val lineage =
+        lineageInputs.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
       val json =
-        s"""{"stage":"$name","rows":$total,"wall_ms":$wallMs,""" +
+        s"""{"stage":"${esc(name)}","fingerprint":"${esc(fingerprint)}",""" +
+          s""""rows":$total,"wall_ms":$wallMs,""" +
           s""""rows_per_sec":$rowsPerSec,"lineage":$lineage,""" +
           s""""per_partition":$perPartition}"""
       val os = fs.create(manifest, true)
@@ -79,6 +101,25 @@ object Checkpoint {
         skipped = false))
     }
   }
+
+  /** escaped fingerprint value recorded in a committed manifest, or
+    * None if unreadable / absent (treated as a mismatch -> recompute).
+    */
+  private def readManifestFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem, manifest: Path): Option[String] =
+    try {
+      val in = fs.open(manifest)
+      val out = new java.io.ByteArrayOutputStream()
+      try {
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      val s = new String(out.toByteArray, "UTF-8")
+      val m = """"fingerprint":"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(s)
+      m.map(_.group(1))
+    } catch { case _: Exception => None }
 
   def wasCommitted(spark: SparkSession, root: String, name: String): Boolean = {
     val dir = new Path(root, name)

@@ -31,34 +31,75 @@ object Dedup {
     * md5("k:" ++ shingle). Explode + agg-min keeps each md5 computed
     * once inside codegen (NumHashes nested array transforms re-expand
     * the shingle tree quadratically — measured 10x slower).
+    *
+    * Emits one row per distinct id INCLUDING documents with no shingles
+    * (< shingleN tokens): their h0..h{n-1} are NULL, matching DuckDB's
+    * `list_aggregate(empty, 'min')` — so short/empty docs don't silently
+    * vanish from the signature table.
     */
   def minhashSignatures(
       df: DataFrame, id: String, text: String,
       numHashes: Int, shingleN: Int = 2): DataFrame = {
     val exploded = df.select(col(id),
       explode(shingles(col(text), shingleN)).as("g"))
-    exploded.groupBy(col(id)).agg(
+    val agg = exploded.groupBy(col(id)).agg(
       min(md5(concat(lit("0:"), col("g")).cast("binary"))).as("h0"),
       (1 until numHashes).map(k =>
         min(md5(concat(lit(s"$k:"), col("g")).cast("binary"))).as(s"h$k")): _*)
+    df.select(col(id)).distinct().join(agg, Seq(id), "left")
   }
 
   /** LSH banding over signatures -> candidate pairs + estimated
     * similarity (fraction of agreeing components). Equi-join on band
     * key; signatures materialized once for the three plan branches.
+    *
+    * Degenerate-bucket salting: a band bucket holding B near-identical
+    * documents (boilerplate corpora) emits B^2/2 pairs inside ONE join
+    * key — a single reducer task at cluster scale. Buckets larger than
+    * `saltBucketBound` are split into `saltFactor` salt cells by
+    * pmod(xxhash64(id), S); the A side replicates each row to keys
+    * (band, salt, j) for all j and the B side to (band, i, salt) for
+    * all i, so every (u, v) salt-cell combination is joined exactly
+    * once across S^2 independent keys of ~(B/S)^2 output each. Small
+    * buckets keep salt = 0 with no replication, so the default-path
+    * plan (and result) is unchanged; pair-set equality with the
+    * unsalted join is asserted in DedupSpec.
     */
   def lshCandidatePairs(
       df: DataFrame, id: String, text: String,
-      numHashes: Int, bandRows: Int, shingleN: Int = 2): DataFrame = {
+      numHashes: Int, bandRows: Int, shingleN: Int = 2,
+      saltBucketBound: Int = 4096, saltFactor: Int = 8): DataFrame = {
     val sig = minhashSignatures(df, id, text, numHashes, shingleN)
+      // no-shingle docs carry NULL signatures (see minhashSignatures);
+      // they have no estimable similarity and concat_ws would otherwise
+      // collapse them all into one degenerate band bucket
+      .filter(col("h0").isNotNull)
       .localCheckpoint()
     val bands = (0 until numHashes / bandRows).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
     }
     val keys = sig.select(col(id), explode(array(bands: _*)).as("band"))
-    val pairs = keys.alias("a").join(keys.alias("b"),
-        col("a.band") === col("b.band") && col(s"a.$id") < col(s"b.$id"))
+      .localCheckpoint()
+    // oversized buckets only (few keys by construction) -> broadcast
+    val bigBands = keys.groupBy(col("band")).count()
+      .filter(col("count") > saltBucketBound)
+      .select(col("band"), lit(true).as("big"))
+    val salted = keys.join(broadcast(bigBands), Seq("band"), "left")
+      .withColumn("salt",
+        when(col("big"), pmod(xxhash64(col(id)), lit(saltFactor)).cast("int"))
+          .otherwise(0))
+      .withColumn("reps",
+        when(col("big"), sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0))))
+    val aSide = salted.select(col(id), col("band"), col("salt"),
+      explode(col("reps")).as("j"))
+    val bSide = salted.select(col(id), col("band"), col("salt"),
+      explode(col("reps")).as("i"))
+    val pairs = aSide.alias("a").join(bSide.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.salt") === col("b.i") && col("a.j") === col("b.salt") &&
+          col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
       .distinct()
     val sigA = sig.select(col(id).as("src") +:
@@ -73,36 +114,69 @@ object Dedup {
         (matches.cast("double") / numHashes).as("est_sim"))
   }
 
-  /** Exact n-gram Jaccard pairs >= threshold via an inverted-index
-    * SHUFFLE_HASH join (few-keys/huge-groups postings; SMJ measured 2-4x
-    * slower) — never O(n^2).
+  /** Exact n-gram Jaccard pairs >= threshold via prefix-filtered
+    * inverted-index join (SSJoin/AllPairs-style frequency pruning):
+    *
+    *   1. global document frequency per shingle;
+    *   2. each doc's shingles sorted rare-first under the global
+    *      (df, shingle) total order;
+    *   3. postings emitted for only the first n - ceil(t*n) + 1
+    *      shingles per doc (the "prefix");
+    *   4. prefix-prefix equi-join -> candidate pairs;
+    *   5. exact verification: size(array_intersect) of the full
+    *      shingle sets, filter jaccard >= t.
+    *
+    * EXACT: jaccard(A,B) >= t implies |A∩B| >= ceil(t*|A|) and
+    * >= ceil(t*|B|); the smallest common shingle under the global order
+    * then has >= ceil(t*|X|) - 1 common shingles after it in each set,
+    * so it sits inside both prefixes — every qualifying pair survives
+    * step 4 (DedupSpec pins set-equality vs the all-postings join).
+    * SCALE: a shingle shared by 1M documents appears in a doc's prefix
+    * only when the doc has almost nothing rarer, so ubiquitous shingles
+    * stop generating quadratic candidate blow-ups (the old unbounded
+    * postings self-join emitted df(g)^2/2 rows per common shingle).
     */
   def jaccardPairs(
       df: DataFrame, id: String, text: String,
       threshold: Double, shingleN: Int = 2): DataFrame = {
-    val sh = df
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val docs = df
       .select(col(id), shingles(col(text), shingleN).as("sh"))
-      .select(col(id), size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
+      .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    // aggregate on the narrow (src, dst) pair only; per-doc shingle
-    // counts rejoin via two broadcast lookups afterwards (the pair
-    // aggregation is the 10M+-row shuffle — narrower rows, cheaper)
-    val sizes = sh.groupBy(col(id)).agg(first(col("n_sh")).as("n_sh"))
-    val shared = sh.alias("a")
-      .join(sh.alias("b").hint("shuffle_hash"),
+    val posting = docs.select(col(id), explode(col("sh")).as("g"))
+    val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rare-first order per doc; struct sort = (df asc, g asc), one
+    // consistent global total order (any total order preserves the
+    // prefix-filter guarantee; rare-first minimizes candidates)
+    val ordered = posting.join(dfreq, "g")
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"),
+        count(lit(1)).as("n_sh"))
+    // 1e-9 guard: FP t*n landing epsilon ABOVE an exact integer would
+    // shorten the prefix below the guarantee; erring longer is safe
+    val prefixLen =
+      (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+        .cast("int")
+    val prefixes = ordered.select(col(id),
+      explode(slice(col("ord.g"), lit(1), prefixLen)).as("g"))
+    // few-keys/huge-groups postings -> shuffle_hash (SMJ pays sorts)
+    val cand = prefixes.alias("a")
+      .join(prefixes.alias("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
-      .agg(count(lit(1)).as("common"))
-    shared
-      .join(broadcast(sizes.select(col(id).as("src"), col("n_sh").as("na"))),
-        "src")
-      .join(broadcast(sizes.select(col(id).as("dst"), col("n_sh").as("nb"))),
-        "dst")
+      .select(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
+      .distinct()
+    cand
+      .join(docs.select(col(id).as("src"), col("sh").as("sha")), "src")
+      .join(docs.select(col(id).as("dst"), col("sh").as("shb")), "dst")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("common").cast("double") /
-          (col("na") + col("nb") - col("common")))
+          (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("src"), col("dst"), col("common"), col("jaccard"))
+      .select(col("src"), col("dst"),
+        col("common").cast("long").as("common"), col("jaccard"))
   }
 
   /** SimHash-(bits): bit j set iff the majority of distinct tokens have

@@ -71,6 +71,12 @@ object EntityLink {
       .as[Mention]
   }
 
+  /** Linking runs over length-sorted partitions (W1): a real batched
+    * transformer encoder sees same-length surfaces adjacently and pads
+    * minimally; with the hash scorer it is a free within-partition sort
+    * (no shuffle) plus the memo cache. Output order is restored
+    * downstream by (conv_id, turn_idx, token_pos) keys (W2).
+    */
   def link(
       spark: SparkSession,
       mentions: Dataset[Mention],
@@ -78,7 +84,7 @@ object EntityLink {
       minScore: Double): Dataset[LinkedMention] = {
     import spark.implicits._
     val bcIndex = spark.sparkContext.broadcast(buildIndex(entities))
-    mentions.mapPartitions { it =>
+    lengthSorted(mentions).mapPartitions { it =>
       val scorer = new Scorer(bcIndex.value, minScore)
       it.flatMap { m =>
         scorer.link(m.surface).map { case (id, score) =>

@@ -10,6 +10,7 @@ import graft.mention.MentionDetect
 import graft.schema._
 import graft.triple.TripleExtract
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{avg, col, count, lit, min}
 
 /** End-to-end KG construction (SURVEY.md §7.2, north rule):
   *
@@ -37,7 +38,12 @@ object KgPipeline {
         * first action that executes the triples stage (north rule:
         * mentions/sec + triples/partition alongside each commit)
         */
-      extractionMetrics: () => Seq[TurnExtract.PartitionMetrics])
+      extractionMetrics: () => Seq[TurnExtract.PartitionMetrics],
+      /** plan-attached df.observe metrics over the canonical triples
+        * (row count + link-score stats), collected for free by whatever
+        * action the caller runs first; empty before any action
+        */
+      tripleStats: () => Map[String, Any])
 
   /** Gazetteer-size cutoff for the per-row fast path: below it the whole
     * extraction (candidate spans + gazetteer probe + resolution + link +
@@ -92,11 +98,31 @@ object KgPipeline {
     val extractionAcc = spark.sparkContext
       .collectionAccumulator[TurnExtract.PartitionMetrics]("graft.extraction")
 
+    // Input/parameter fingerprint: a committed stage is reused only if
+    // the run's semantic parameters match the ones recorded at commit
+    // time (Checkpoint rejects stale checkpoints otherwise). The turns
+    // DATA itself is identified by the checkpoint root (callers use one
+    // root per input corpus — documented contract); its schema is folded
+    // in as a cheap drift signal. All components are JVM-stable hashes
+    // (String/Seq/Map hashCode are specified murmur/31-based).
+    val fingerprint = {
+      val desc = Seq(
+        s"gaz:${gaz.size}:${gaz.hashCode}",
+        s"entities:${entities.size}:${entities.hashCode}",
+        s"minLinkScore:$minLinkScore",
+        s"predicates:${predicates.hashCode}",
+        s"turnsSchema:${turns.schema.map(f => f.name + ":" + f.dataType.sql)}"
+      ).mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
     val stats = scala.collection.mutable.ArrayBuffer[Checkpoint.StageStats]()
     def stage(name: String, inputs: Seq[String])(f: => DataFrame): DataFrame =
       checkpointRoot match {
         case Some(root) =>
-          val (df, st) = Checkpoint.stage(spark, root, name, inputs)(f)
+          val (df, st) =
+            Checkpoint.stage(spark, root, name, inputs, fingerprint)(f)
           stats += st
           df
         case None => f
@@ -131,9 +157,15 @@ object KgPipeline {
       Canonicalize.canonicalMap(spark, entities)
     }
 
+    // U-6: observed metrics ride the plan itself (zero extra jobs) —
+    // any first action on the triples also delivers row count + score
+    // stats, complementing the in-task accumulator metrics above
+    val tripleObs = new org.apache.spark.sql.Observation()
     val relabeled = stage("triples_canonical", Seq("triples", "canonical_map")) {
       Materialize.relabel(spark, rawTriples, canonMap).toDF()
     }.as[Triple]
+      .observe(tripleObs, count(lit(1)).as("triples"),
+        min(col("score")).as("min_score"), avg(col("score")).as("avg_score"))
 
     val nodes = stage("nodes", Seq("canonical_map", "entity_index")) {
       Materialize.nodes(spark, entities, canonMap).toDF()
@@ -159,21 +191,34 @@ object KgPipeline {
         os.close()
       }
     }
-    Result(relabeled, nodes, edges, stats.toSeq, metricsFn)
+    Result(relabeled, nodes, edges, stats.toSeq, metricsFn,
+      // non-blocking read of the observed row (Observation.get blocks
+      // until an action; future.value is None before one)
+      () => tripleObs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          row.schema.fieldNames.zip(row.toSeq).toMap
+        case _ => Map.empty
+      })
   }
 
-  /** Materialize the graph into snapshot-committed node/edge tables
-    * (graft.io.TableIO — Iceberg layout semantics on Parquet). Edges are
-    * partitioned by predicate: low cardinality, and per-predicate reads
-    * (the common KG access path) get partition pruning.
+  /** Materialize the graph into snapshot-committed node/edge tables.
+    * The format binding is pluggable (graft.io.KgTableFormat): the
+    * sandbox default is snapshot-versioned Parquet; pass
+    * `new IcebergTableFormat` plus catalog-qualified table names to
+    * commit real Iceberg tables (config-only swap — see the mapping
+    * table in KgTableFormat's scaladoc). Edges are partitioned by
+    * predicate: low cardinality, and per-predicate reads (the common KG
+    * access path) get partition pruning.
     */
   def materialize(
       spark: SparkSession,
       result: Result,
-      dir: String): (Int, Int) = {
-    val nv = graft.io.TableIO.write(spark, result.nodes.toDF(),
+      dir: String,
+      format: graft.io.KgTableFormat = graft.io.ParquetSnapshotFormat)
+      : (Long, Long) = {
+    val nv = format.write(spark, result.nodes.toDF(),
       s"$dir/nodes", Nil, Seq("canonical_map", "entity_index"))
-    val ev = graft.io.TableIO.write(spark, result.edges.toDF(),
+    val ev = format.write(spark, result.edges.toDF(),
       s"$dir/edges", Seq("pred"), Seq("triples_canonical"))
     (nv, ev)
   }

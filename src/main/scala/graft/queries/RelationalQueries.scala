@@ -395,8 +395,8 @@ object RelationalQueries {
          c AS (SELECT c_acctbal,
            ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn FROM customer)
          SELECT COUNT(*) AS n_pairs,
-           SUM(CASE WHEN o_totalprice > c_acctbal THEN 1 ELSE 0 END)
-             AS n_order_gt_bal
+           CAST(SUM(CASE WHEN o_totalprice > c_acctbal THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_order_gt_bal
          FROM o JOIN c USING (rn)""",
     "q_window_topk" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
@@ -485,8 +485,8 @@ object RelationalQueries {
          tot AS (SELECT SUM(label) AS total_pos FROM ev),
          ranked AS (SELECT event_id, value, label,
            ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rank,
-           SUM(label) OVER (ORDER BY value DESC, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+           CAST(SUM(label) OVER (ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp
            FROM ev)
          SELECT rank, value AS threshold, tp,
            CAST(tp AS DOUBLE) / rank AS precision,
@@ -503,7 +503,8 @@ object RelationalQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-         SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS k_sum,
          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_agg_concat" ->
@@ -529,7 +530,7 @@ object RelationalQueries {
            ROUND(SUM(CASE WHEN label = 1
                THEN CAST(tp AS DOUBLE) / rank ELSE 0.0 END) / SUM(label), 9)
              AS avg_precision,
-           SUM(label) AS total_pos
+           CAST(SUM(label) AS BIGINT) AS total_pos
          FROM ranked""",
     "q_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,

@@ -85,6 +85,18 @@ object SimilarityQueries {
         .orderBy($"query_id")
     }),
 
+    // LSH multi-band OR-construction top-3 (the recommended scale
+    // path): 2 bands x 4 planes, candidates = union of per-band bucket
+    // matches, exact cosine on survivors
+    "q_ann_lsh_multiband" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Similarity.lshTopKMultiBand(
+          emb, emb.filter($"vec_id" % 25 === 0), "vec_id", "embedding",
+          k = 3, planesPerBand = 4, numBands = 2, dims = 64)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // J6: bi-encoder -> cross-encoder rerank (reference:
     // ranking_pipeline.py:14-43): stage 1 cosine top-10 per query,
     // stage 2 re-scores survivors with a different metric (squared L2)
@@ -114,6 +126,35 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // J5/W5 bidirectional retrieval argmax (reference:
+    // metrics.py:476-502 computes argmax over the similarity matrix in
+    // BOTH directions — src->tgt and transposed — and scores accuracy
+    // against the aligned pair). Alignment here: even/odd vec_id pairs
+    // (pair_id = vec_id div 2). Evaluation-set metric: the all-pairs
+    // matrix is the reference semantic (J5); query side broadcast.
+    "q_ann_bidir_argmax" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val src = emb.filter($"vec_id" % 2 === 0)
+        .select(expr("vec_id div 2").as("sp"), $"embedding".as("se"))
+      val tgt = emb.filter($"vec_id" % 2 === 1)
+        .select(expr("vec_id div 2").as("tp"), $"embedding".as("te"))
+      val m = tgt.crossJoin(broadcast(src))
+        .select($"sp", $"tp", round(cosine($"se", $"te"), 6).as("cos"))
+        .localCheckpoint()
+      def acc(partCol: String, otherCol: String, name: String) = {
+        val w = Window.partitionBy(col(partCol))
+          .orderBy($"cos".desc, col(otherCol))
+        m.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .agg(count(lit(1)).as("n"),
+            sum(when($"sp" === $"tp", 1L).otherwise(0L)).as("correct"))
+          .select(lit(name).as("direction"), $"n", $"correct",
+            ($"correct".cast("double") / $"n").as("accuracy"))
+      }
+      acc("sp", "tp", "fwd").unionByName(acc("tp", "sp", "bwd"))
+        .orderBy($"direction")
+    }),
+
     // per-label embedding stats (round-before-aggregate => order-free)
     "q_embed_stats" -> ((s, d) => {
       import s.implicits._
@@ -135,6 +176,18 @@ object SimilarityQueries {
     (0 until NumPlanes).map { p =>
       s"""(CASE WHEN list_sum(list_transform(range(1, 65),
          i -> __e[i] * (CASE WHEN substr(md5('$p:' || (i - 1)), 1, 1)
+           IN $oddSql THEN 1.0 ELSE -1.0 END))) >= 0
+         THEN ${1L << p} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  /** band-b bucket over planes [b*r, (b+1)*r) with LOCAL bit positions —
+    * mirrors Similarity.bandBuckets.
+    */
+  private def bandBucketSql(b: Int, r: Int): String =
+    (0 until r).map { p =>
+      val plane = b * r + p
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         i -> __e[i] * (CASE WHEN substr(md5('$plane:' || (i - 1)), 1, 1)
            IN $oddSql THEN 1.0 ELSE -1.0 END))) >= 0
          THEN ${1L << p} ELSE 0 END)"""
     }.mkString(" + ")
@@ -180,6 +233,51 @@ object SimilarityQueries {
                ORDER BY cos_sim DESC, neighbor_id) AS rank
            FROM scored)
          WHERE rank = 1 ORDER BY query_id""",
+    "q_ann_lsh_multiband" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
+           FROM embeddings),
+         b AS (SELECT vec_id, __e,
+           CAST(${bandBucketSql(0, 4)} AS BIGINT) AS b0,
+           CAST(${bandBucketSql(1, 4)} AS BIGINT) AS b1
+           FROM e),
+         q AS (SELECT vec_id AS query_id, __e, b0, b1 FROM b
+           WHERE vec_id % 25 = 0),
+         scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             $cosSql AS cos_sim
+           FROM b a JOIN q ON (a.b0 = q.b0 OR a.b1 = q.b1)
+           WHERE a.vec_id <> q.query_id)
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q_ann_bidir_argmax" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
+           FROM embeddings),
+         s AS (SELECT vec_id // 2 AS sp, __e FROM e WHERE vec_id % 2 = 0),
+         t2 AS (SELECT vec_id // 2 AS tp, __e FROM e WHERE vec_id % 2 = 1),
+         m AS (SELECT s.sp, t2.tp,
+             ROUND(list_dot_product(s.__e, t2.__e) /
+               (SQRT(list_dot_product(s.__e, s.__e)) *
+                SQRT(list_dot_product(t2.__e, t2.__e))), 6) AS cos
+           FROM s CROSS JOIN t2),
+         fwd AS (SELECT sp, tp FROM (SELECT sp, tp,
+             ROW_NUMBER() OVER (PARTITION BY sp
+               ORDER BY cos DESC, tp) AS rn FROM m) WHERE rn = 1),
+         bwd AS (SELECT sp, tp FROM (SELECT sp, tp,
+             ROW_NUMBER() OVER (PARTITION BY tp
+               ORDER BY cos DESC, sp) AS rn FROM m) WHERE rn = 1)
+         SELECT direction, n, correct,
+           CAST(correct AS DOUBLE) / n AS accuracy FROM (
+           SELECT 'fwd' AS direction, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN sp = tp THEN 1 ELSE 0 END) AS BIGINT)
+               AS correct FROM fwd
+           UNION ALL
+           SELECT 'bwd' AS direction, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN sp = tp THEN 1 ELSE 0 END) AS BIGINT)
+               AS correct FROM bwd)
+         ORDER BY direction""",
     "q_ann_rerank" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __e
            FROM embeddings),

@@ -176,8 +176,8 @@ object TextQueries {
       s"""WITH d AS (SELECT doc_id, text, $toksSql AS __toks FROM documents)
          SELECT doc_id,
            len(string_split(text, ' ')) AS ws_tokens,
-           list_sum(list_transform(__toks, x -> (length(x) + 3) // 4))
-             AS bpe_pieces
+           CAST(list_sum(list_transform(__toks, x -> (length(x) + 3) // 4))
+             AS BIGINT) AS bpe_pieces
          FROM d ORDER BY doc_id""",
   )
 }

@@ -54,9 +54,86 @@ object Similarity {
         col("cos_sim"))
   }
 
-  /** LSH-blocked top-k: equi-join on sign bucket, cosine only within
-    * blocks — the 100 TB shape (candidate set per query ~ corpus /
-    * 2^numPlanes).
+  /** Per-band sign buckets: band b hashes planes
+    * [b*planesPerBand, (b+1)*planesPerBand) — disjoint plane sets per
+    * band, same md5-parity coefficient formula. Returns
+    * array<struct<band:int, bucket:bigint>> for one explode.
+    */
+  def bandBuckets(e: Column, planesPerBand: Int, numBands: Int,
+      dims: Int): Column =
+    array((0 until numBands).map { b =>
+      val bucket = (0 until planesPerBand).map { p =>
+        val plane = b * planesPerBand + p
+        val coefs = Array.tabulate(dims)(i => coef(plane, i))
+        when(aggregate(
+          zip_with(e, lit(coefs), (v, c) => v.cast("double") * c),
+          lit(0.0), (acc, x) => acc + x) >= 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+
+  /** Multi-band OR-construction LSH top-k — the RECOMMENDED scale path.
+    *
+    * A single AND-bucket of r planes keeps a neighbor only when ALL r
+    * sign bits agree: P = (1 - theta/pi)^r, which falls off a cliff for
+    * true neighbors on the wrong side of any one plane. OR-ing B bands
+    * (union of per-band candidate sets, like Dedup.lshCandidatePairs)
+    * lifts recall to 1 - (1 - P)^B while the per-band equi-join keeps
+    * the never-all-pairs shape: candidates/query ~ B * corpus / 2^r.
+    * Recall@k vs bruteForceTopK is measured in SimilarityRecallSpec
+    * (>= 0.9 on the clustered fixture; reference analog: hnswlib ef/M
+    * recall tuning, search_pipeline.py:105-124).
+    *
+    * Candidate pair ids are deduped BEFORE scoring (narrow shuffle),
+    * then vectors rejoin: corpus side by id, query side broadcast (the
+    * query side is the small side by contract, as in bruteForceTopK).
+    */
+  def lshTopKMultiBand(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      planesPerBand: Int, numBands: Int, dims: Int): DataFrame = {
+    def keys(df: DataFrame, idAs: String) = df
+      .select(col(id).as(idAs),
+        explode(bandBuckets(col(vec), planesPerBand, numBands, dims))
+          .as("bb"))
+      .select(col(idAs), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = keys(corpus, "neighbor_id")
+      .join(broadcast(keys(queries, "query_id")), Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qe"))
+    val scored = cand
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("__ce")),
+        "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(CosineSim.cosine_sim(col("__qe"), col("__ce")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** recall@k of an approximate top-k result vs the exact one: fraction
+    * of exact (query_id, neighbor_id) pairs the approximate result
+    * found. Evaluation utility (two scalar aggregates).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val total = e.count()
+    if (total == 0) 1.0
+    else e.join(approx.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / total
+  }
+
+  /** Single-band LSH top-k (AND-construction only): equi-join on one
+    * sign bucket, cosine only within blocks. Candidate set per query
+    * ~ corpus / 2^numPlanes, but recall drops for neighbors split by
+    * any plane — prefer lshTopKMultiBand; kept as the B=1 special case.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,

@@ -9,9 +9,10 @@ object FusedRun {
     val cpus = args.headOption.getOrElse("32").toInt
     val path = args.lift(1).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_bench_turns")
+    val parts = args.lift(3).map(_.toInt).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // Hadoop vectored IO opens a fresh AsynchronousFileChannel (plus its
       // own thread pool) per read on RawLocalFileSystem — stack-sampled as
@@ -21,16 +22,21 @@ object FusedRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val staged = args.lift(2).contains("staged")
     val turns = spark.read.parquet(path)
     val walls = (1 to 4).map { i =>
       val t0 = System.nanoTime()
-      val n = KgPipeline.run(spark, turns, shufflePartitions = cpus)
+      val n = KgPipeline.run(spark, turns, shufflePartitions = parts,
+        gazetteerFastPathMax =
+          if (staged) 0 else KgPipeline.GazetteerFastPathMax)
         .triples.count()
       val w = (System.nanoTime() - t0) / 1e9
-      println(f"FUSED cpus=$cpus rep=$i triples=$n wall=$w%.2f s")
+      println(f"FUSED cpus=$cpus parts=$parts staged=$staged rep=$i " +
+        f"triples=$n wall=$w%.2f s")
       w
     }
-    println(f"FUSED cpus=$cpus min=${walls.drop(1).min}%.2f s")
+    println(f"FUSED cpus=$cpus parts=$parts staged=$staged " +
+      f"min=${walls.drop(1).min}%.2f s")
     spark.stop()
   }
 }

@@ -10,6 +10,20 @@ import java.nio.file.Files
   * checkpoints with lineage + metrics written alongside each commit";
   * SURVEY.md §5.2.5).
   */
+/** JVM-wide single-shot failure flag + attempt counter for the
+  * task-retry drill (local mode: executor shares the JVM, so these are
+  * visible in the task; a Spark accumulator would NOT work here — the
+  * failed attempt's updates are discarded by design).
+  */
+object FailOnce {
+  private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val attempts = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+  def reset(): Unit = { armed.set(true); attempts.clear() }
+  def shouldFail(): Boolean = armed.compareAndSet(true, false)
+  def record(pid: Int): Unit =
+    attempts.merge(pid, 1, (a, b) => a + b)
+}
+
 class CheckpointSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -79,5 +93,64 @@ class CheckpointSpec extends AnyFunSuite {
     // second call resumes
     val (_, st2) = Checkpoint.stage(spark, root, "s1", Seq("in"))(df)
     assert(st2.skipped)
+  }
+
+  test("fingerprint mismatch forces recompute instead of stale reuse") {
+    val root = Files.createTempDirectory("graft_ckpt4").toString
+    val (_, st1) = Checkpoint.stage(spark, root, "s", Seq("in"), "fpA")(
+      spark.range(5).toDF("id"))
+    assert(!st1.skipped)
+    // same fingerprint -> resumed
+    val (_, st2) = Checkpoint.stage(spark, root, "s", Seq("in"), "fpA")(
+      spark.range(5).toDF("id"))
+    assert(st2.skipped)
+    // changed inputs/params -> recomputed, new data visible
+    val (out3, st3) = Checkpoint.stage(spark, root, "s", Seq("in"), "fpB")(
+      spark.range(9).toDF("id"))
+    assert(!st3.skipped && out3.count() == 9)
+    // manifest now records the new fingerprint (JSON-escaped round-trip)
+    val (_, st4) = Checkpoint.stage(spark, root, "s", Seq("in"), "fpB")(
+      spark.range(9).toDF("id"))
+    assert(st4.skipped)
+  }
+
+  test("per-partition recovery inside a stage: an injected task failure " +
+    "is retried alone; finished partitions are not recomputed") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_ckpt6").toString
+    FailOnce.reset()
+    import spark.implicits._
+    val ds = spark.range(0, 40, 1, 4).toDF("id").as[Long]
+    val mapped = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      FailOnce.record(pid)
+      if (pid == 2 && FailOnce.shouldFail())
+        throw new RuntimeException("injected task failure")
+      it
+    }
+    // the stage commits despite the mid-stage task death (local[4, 2]
+    // retries the task; parquet task-commit discards the dead attempt)
+    val (out, st) = Checkpoint.stage(spark, root, "flaky", Seq("in"))(
+      mapped.toDF())
+    assert(!st.skipped && out.count() == 40)
+    val perPartition = FailOnce.attempts.asScala.toMap
+    assert(perPartition(2) == 2, s"failed task not retried: $perPartition")
+    assert(Seq(0, 1, 3).forall(p => perPartition(p) == 1),
+      s"finished partitions recomputed: $perPartition")
+  }
+
+  test("changed pipeline parameters invalidate committed stages") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt5").toString
+    val turns = TranscriptGen.transcripts(spark, nConvs = 10,
+      turnsPerConv = 4, hotTurns = 0, partitions = 2).toDF()
+    KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2, gazetteerFastPathMax = 0).triples.count()
+    // a different minLinkScore must NOT reuse the old triples commit
+    val second = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2, gazetteerFastPathMax = 0,
+      minLinkScore = 0.99)
+    assert(second.stats.forall(!_.skipped),
+      s"stale reuse: ${second.stats.filter(_.skipped).map(_.name)}")
   }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-hardening contracts for the dedup operators:
+  *   - prefix-filtered jaccardPairs == naive all-postings join (the
+  *     df-ordered prefix join is an exact optimization, not an
+  *     approximation);
+  *   - LSH degenerate-bucket salting preserves the candidate-pair set
+  *     while bounding per-join-key group sizes;
+  *   - minhashSignatures keeps short/empty docs as NULL-signature rows
+  *     (DuckDB list_aggregate-over-empty parity).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** mixed corpus: clusters of near-dups sharing a ubiquitous
+    * boilerplate prefix (high-df shingles), plus unique docs and a
+    * couple of too-short docs
+    */
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this site"
+    val rows =
+      (0 until 40).map(i => (i.toLong, s"$boiler cluster alpha doc body $i")) ++
+      (40 until 80).map(i => (i.toLong, s"$boiler cluster beta text body $i")) ++
+      (80 until 100).map(i =>
+        (i.toLong, s"unique document $i with words w${i}a w${i}b w${i}c")) ++
+      Seq((100L, "short"), (101L, ""))
+    rows.toDF("doc_id", "text")
+  }
+
+  private def naiveJaccard(df: DataFrame, threshold: Double): Set[(Long, Long, Long)] = {
+    // all-postings inverted-index join (the pre-prefix-filter
+    // implementation) as the exactness oracle
+    val sh = df.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val p = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
+    p.alias("a").join(p.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+      .select("src", "dst", "common")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("jaccardPairs prefix filter is exact vs all-postings join " +
+    "(several thresholds, high-df boilerplate shingles present)") {
+    val df = corpus()
+    for (t <- Seq(0.1, 0.3, 0.5, 0.8)) {
+      val fast = Dedup.jaccardPairs(df, "doc_id", "text", t)
+        .select("src", "dst", "common")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val naive = naiveJaccard(df, t)
+      assert(fast == naive, s"threshold=$t")
+      assert(fast.nonEmpty || t > 0.5, s"threshold=$t produced no pairs")
+    }
+  }
+
+  test("jaccardPairs prefix filter survives an exact-integer t*n " +
+    "boundary (FP-epsilon guard)") {
+    import spark.implicits._
+    // 10 shingles per doc, threshold 0.5 -> t*n = 5 exactly; a pair
+    // with exactly 5/15... build two docs with overlap right at the
+    // boundary: |A|=|B|=10, common=7 -> jaccard 7/13 = 0.538 >= 0.5
+    val a = "a b c d e f g h i j k".split(" ")   // 10 bigrams
+    val b = "a b c d e f g h x y z".split(" ")   // 7 shared bigrams
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == Set((1L, 2L)))
+  }
+
+  test("lshCandidatePairs salting engages on degenerate buckets and " +
+    "preserves the pair set exactly") {
+    import spark.implicits._
+    // 60 identical docs = one band bucket per band of size 60 (plus a
+    // few distinct docs); bound 16 forces the salted path
+    val df = ((0 until 60).map(i => (i.toLong, "identical boilerplate row " +
+        "shared by every document in this block")) ++
+      (60 until 70).map(i => (i.toLong, s"distinct text $i q${i}r s${i}t")))
+      .toDF("doc_id", "text")
+    val salted = Dedup.lshCandidatePairs(df, "doc_id", "text", 8, 2,
+        saltBucketBound = 16, saltFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsalted = Dedup.lshCandidatePairs(df, "doc_id", "text", 8, 2,
+        saltBucketBound = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == unsalted)
+    assert(salted.size >= 60 * 59 / 2) // the identical block is all-pairs
+    // bounded-bucket property: with S=4 salt cells no (band, salt, j)
+    // join-key group on either side exceeds the unsalted bucket / 2
+    // (xxhash64 spread; deterministic for fixed ids)
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", 8)
+      .filter(col("h0").isNotNull)
+    val bands = (0 until 4).map { bnd =>
+      concat_ws("|", lit(bnd.toString) +:
+        (0 until 2).map(r => col(s"h${bnd * 2 + r}")): _*)
+    }
+    val maxCell = sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(4)))
+      .groupBy("band", "salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxCell <= 30, s"salt cells not spreading: max=$maxCell")
+  }
+
+  test("minhashSignatures keeps docs with <2 tokens as NULL-signature " +
+    "rows (oracle parity) and lshCandidatePairs excludes them") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "short"), (3L, ""))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(sig.length == 3)
+    assert(!sig(0).isNullAt(1))
+    assert(sig(1).isNullAt(1) && sig(1).isNullAt(4))
+    assert(sig(2).isNullAt(1))
+    val pairs = Dedup.lshCandidatePairs(df, "doc_id", "text", 4, 2).count()
+    assert(pairs == 0) // no shared bands among the 3; nulls never pair
+  }
+}

@@ -38,6 +38,10 @@ class KgPipelineSpec extends AnyFunSuite {
     withClue(s"precision=$p recall=$r got=${got.size} exp=${expected.size}: ") {
       assert(p >= 0.95 && r >= 0.95)
     }
+    // df.observe metrics rode the collect() action (zero extra jobs)
+    val stats = result.tripleStats()
+    assert(stats("triples") == got.size.toLong)
+    assert(stats("min_score").asInstanceOf[Double] >= Vocab.minLinkScore)
   }
 
   test("per-turn text equality is preserved under stable turn ordering") {

@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: maxFailures = 2 so the per-partition recovery
+      // drill (CheckpointSpec) can inject a task failure and observe
+      // Spark retry ONLY that task, like a real cluster
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

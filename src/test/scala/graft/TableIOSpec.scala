@@ -55,4 +55,27 @@ class TableIOSpec extends AnyFunSuite {
     assert(TableIO.read(spark, s"$dir/edges", Some(1)).count() ==
       TableIO.read(spark, s"$dir/edges", Some(2)).count())
   }
+
+  test("KgTableFormat swap surface: parquet binding round-trips through " +
+    "the trait; the Iceberg binding satisfies the same interface") {
+    import spark.implicits._
+    import graft.io.{IcebergTableFormat, KgTableFormat, ParquetSnapshotFormat}
+    val dir = Files.createTempDirectory("graft_tableio4").toString
+    // call sites are format-generic: same code path either binding
+    def commitAndReload(fmt: KgTableFormat, table: String): Long = {
+      val snap = fmt.write(spark, Seq((1, "uses"), (2, "calls"))
+        .toDF("src", "pred"), table, partitionCols = Seq("pred"),
+        lineage = Seq("triples_canonical"))
+      assert(fmt.read(spark, table).count() == 2)
+      assert(fmt.read(spark, table, asOf = Some(snap)).count() == 2)
+      snap
+    }
+    assert(commitAndReload(ParquetSnapshotFormat, s"$dir/t") == 1L)
+    // compile-time conformance: the Iceberg binding (pure Spark
+    // DataSourceV2 API, no Iceberg classes) typechecks as KgTableFormat;
+    // running it requires the iceberg-spark-runtime jar + catalog conf,
+    // absent in this sandbox (documented mapping in KgTableFormat)
+    val iceberg: KgTableFormat = new IcebergTableFormat
+    assert(iceberg != null)
+  }
 }
