@@ -125,7 +125,9 @@ object Bench {
       hotTurns = benchConvs / 50, partitions = cpusHi)
       .write.mode("overwrite").parquet(warmupPath)
     kgRun(hi, warmupPath, cpusHi) // JIT warmup at 1/10 size
-    val runsHi = (1 to 2).map(_ => kgRun(hi, turnsPath, cpusHi))
+    // min-of-3: the headline number; a 2-sample min still reads 3-4x
+    // high when a noisy-host window covers both samples (observed)
+    val runsHi = (1 to 3).map(_ => kgRun(hi, turnsPath, cpusHi))
     val (tHi, triples) = (runsHi.map(_._1).min, runsHi.head._2)
     // SMT-pair reference at full parallelism, staged (scale) path —
     // same protocol as every other datapoint (staged warmup + min-of-N;

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -90,6 +90,85 @@ object Sources {
     spark.read.json(path)
       .join(broadcast(allowedIds.toDF("id")), Seq("id"), "left_semi")
       .select(col("id"), col("title"), col("text"))
+  }
+
+  /** WiC TSV token-span scan (reference: src/dataset/wic_dataset.py:
+    * 36-44): lemma, POS (lowercased), "i1-i2" token indexes of the
+    * target word in each sentence, the two sentences. Gold labels live
+    * in a parallel file of T/F lines and attach by line position — the
+    * J7 positional zip join over plans.GlobalRank row numbers, never a
+    * single-partition window (wic_dataset.py:46-55).
+    */
+  def wicPairs(spark: SparkSession, dataPath: String,
+      goldPath: String): DataFrame = {
+    def numbered(path: String) = graft.plans.GlobalRank.withGlobalRowNumber(
+      spark.read.text(path).withColumn("line_id",
+        monotonically_increasing_id()),
+      "__rn", Seq(col("line_id")), 4)
+    val idxs = split(element_at(col("c"), 3), "-")
+    val data = numbered(dataPath)
+      .select(col("__rn"), split(col("value"), "\t").as("c"))
+      .filter(size(col("c")) === 5)
+      .select(col("__rn"),
+        element_at(col("c"), 1).as("lemma"),
+        lower(element_at(col("c"), 2)).as("pos"),
+        element_at(idxs, 1).cast("int").as("idx1"),
+        element_at(idxs, 2).cast("int").as("idx2"),
+        element_at(col("c"), 4).as("sent1"),
+        element_at(col("c"), 5).as("sent2"))
+    val gold = numbered(goldPath)
+      .select(col("__rn"),
+        when(trim(col("value")) === "T", 1)
+          .when(trim(col("value")) === "F", 0).as("label"))
+      .filter(col("label").isNotNull)
+    data.join(gold, "__rn").drop("__rn")
+  }
+
+  /** WiC JSON-lines char-offset span scan (reference:
+    * wic_dataset.py:57-79): target word + two sentences with character
+    * start/end offsets and a boolean label.
+    */
+  def wicJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path).select(
+      col("word").cast("string").as("lemma"),
+      col("sentence1").cast("string").as("sent1"),
+      col("sentence2").cast("string").as("sent2"),
+      col("start1").cast("int"), col("end1").cast("int"),
+      col("start2").cast("int"), col("end2").cast("int"),
+      col("label").cast("boolean").cast("int").as("label"))
+
+  /** GWSC TSV scan (reference: src/dataset/gwsc_dataset.py:83-120):
+    * two target words in two contexts; each context is HTML-stripped +
+    * punctuation-padded, split on single spaces (EMPTY tokens kept —
+    * the reference's split(" ") counts them in indexes), and the first
+    * exact token match of each word form becomes its 0-based index
+    * (utils.find_in_list; no match -> null).
+    */
+  def gwscPairs(spark: SparkSession, path: String): DataFrame = {
+    import graft.text.TextOps
+    val raw = spark.read.option("header", "true").option("sep", "\t").csv(path)
+    def idx0(t: Column, w: Column) = {
+      val p = array_position(t, w)
+      when(p === 0, lit(null).cast("int")).otherwise((p - 1).cast("int"))
+    }
+    raw.select(
+        col("word1"), col("word2"),
+        trim(TextOps.padPunctuation(TextOps.stripHtml(col("context1"))))
+          .as("context1"),
+        trim(TextOps.padPunctuation(TextOps.stripHtml(col("context2"))))
+          .as("context2"),
+        col("word1_context1"), col("word2_context1"),
+        col("word1_context2"), col("word2_context2"))
+      // context1/2 are already cleaned+padded here: indexes split only
+      // (padding twice would shift positions)
+      .withColumn("word1_context1_idx",
+        idx0(split(col("context1"), " ", -1), col("word1_context1")))
+      .withColumn("word2_context1_idx",
+        idx0(split(col("context1"), " ", -1), col("word2_context1")))
+      .withColumn("word1_context2_idx",
+        idx0(split(col("context2"), " ", -1), col("word1_context2")))
+      .withColumn("word2_context2_idx",
+        idx0(split(col("context2"), " ", -1), col("word2_context2")))
   }
 
   /** S9: embedding-file scan — `key v1..vd` rows collected into a

@@ -48,6 +48,16 @@ object TextOps {
   def stripHtml(text: Column): Column =
     regexp_replace(text, "<[^>]*>", "")
 
+  /** F3: punctuation padding (reference: src/utils/utils.py:74-77) —
+    * one space either side of every ASCII punctuation char, mirroring
+    * Python's string.punctuation translate table (ASCII 33-47, 58-64,
+    * 91-96, 123-126). Spaces are NOT collapsed afterwards: the
+    * reference's split(" ") keeps the resulting empty tokens, and
+    * GWSC span indexes count them.
+    */
+  def padPunctuation(text: Column): Column =
+    regexp_replace(text, """([!-/:-@\[-`{-~])""", " $1 ")
+
   /** Wordpunct-style tokenization into a non-empty token array
     * (reference: src/utils/tokenizers.py:6-15,
     *  custom_pyspark_transformer.py:40-50).

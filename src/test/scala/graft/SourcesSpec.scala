@@ -83,4 +83,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(m.keySet == Set("key_a", "key_b"))
     assert(m("key_b").toSeq == Seq(1.0f, 0.0f))
   }
+
+  test("WiC TSV span loader: token indexes, lowercased POS, positional " +
+    "gold-label zip") {
+    val data = write(dir, "wic.data.txt",
+      "bank\tN\t1-3\tthe bank closed\tsat on the bank of the river\n" +
+        "run\tV\t0-2\trun fast\tshe will run\n")
+    val gold = write(dir, "wic.gold.txt", "F\nT\n")
+    val rows = Sources.wicPairs(spark, data, gold)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getString(4), r.getInt(6))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("bank", "n", 1, 3, "the bank closed", 0),
+      ("run", "v", 0, 2, "run fast", 1)))
+  }
+
+  test("WiC JSON char-offset span loader") {
+    val p = write(dir, "wic.jsonl",
+      """{"word":"board","sentence1":"room and board","sentence2":"he sat on the board","label":false,"start1":9,"end1":14,"start2":14,"end2":19}""" + "\n")
+    val r = Sources.wicJson(spark, p).collect()(0)
+    assert(r.getString(0) == "board")
+    assert(r.getInt(3) == 9 && r.getInt(4) == 14)
+    assert(r.getInt(5) == 14 && r.getInt(6) == 19)
+    assert(r.getInt(7) == 0)
+    // offsets address the target word in the raw sentence
+    assert(r.getString(1).substring(9, 14) == "board")
+  }
+
+  test("GWSC span loader: HTML strip + punctuation padding, 0-based " +
+    "first-match token indexes counting empty tokens") {
+    // reference semantics: pad_punctuation leaves double spaces and
+    // split(" ") keeps the empty tokens: "big, deep river" pads to
+    // "big ,  deep river" = [big, ",", "", deep, river]
+    val p = write(dir, "gwsc.tsv",
+      "word1\tword2\tcontext1\tcontext2\tword1_context1\tword2_context1" +
+        "\tword1_context2\tword2_context2\n" +
+        "river\tdepth\t<b>big</b>, deep river\tthe depth of it\t" +
+        "river\tdeep\tit\tdepth\n")
+    val r = Sources.gwscPairs(spark, p).collect()(0)
+    assert(r.getString(2) == "big ,  deep river") // stripped + padded + trimmed
+    assert(r.getAs[Int]("word1_context1_idx") == 4) // river
+    assert(r.getAs[Int]("word2_context1_idx") == 3) // deep (after empty tok)
+    assert(r.getAs[Int]("word1_context2_idx") == 3) // [the,depth,of,it] -> it
+    assert(r.getAs[Int]("word2_context2_idx") == 1) // depth
+  }
 }
