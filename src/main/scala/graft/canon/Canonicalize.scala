@@ -46,19 +46,24 @@ object Canonicalize {
   val NumHashes = 32
   val BandRows = 2
 
-  /** (entity_id, surfaces array) -> exploded (entity_id, band) LSH keys. */
+  /** (entity_id, surfaces array) -> exploded (entity_id, band) LSH keys.
+    * Signatures via explode + agg-min so each md5 is computed once in
+    * codegen — NumHashes nested array transforms re-expand the shingle
+    * tree per hash (measured 10x slower in the Dedup twin of this
+    * operator; matters at 32 hashes on corpus-extracted entity tables).
+    */
   def bandKeys(entitySurfaces: DataFrame): DataFrame = {
-    val shingled = withShingles(entitySurfaces)
-    val sig = (0 until NumHashes).map { k =>
-      array_min(transform(col("shingles"),
-        s => md5(concat(lit(s"$k:"), s).cast("binary")))).as(s"h$k")
-    }
+    val exploded = withShingles(entitySurfaces)
+      .select(col("entity_id"), explode(col("shingles")).as("g"))
+    val sig = exploded.groupBy(col("entity_id")).agg(
+      min(md5(concat(lit("0:"), col("g")).cast("binary"))).as("h0"),
+      (1 until NumHashes).map(k =>
+        min(md5(concat(lit(s"$k:"), col("g")).cast("binary"))).as(s"h$k")): _*)
     val bands = (0 until NumHashes / BandRows).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
     }
-    shingled.select(col("entity_id") +: sig: _*)
-      .select(col("entity_id"), explode(array(bands: _*)).as("band"))
+    sig.select(col("entity_id"), explode(array(bands: _*)).as("band"))
   }
 
   def withShingles(entitySurfaces: DataFrame): DataFrame =
@@ -80,6 +85,10 @@ object Canonicalize {
       .select(col("a.entity_id").as("src"), col("b.entity_id").as("dst"))
       .distinct()
 
+    // no explicit broadcast: the shingle table is one row per ENTITY —
+    // fine to broadcast for a closed vocabulary but an OOM trap for
+    // corpus-extracted entity tables (same reasoning as the jaccard
+    // rejoin); AQE picks broadcast when the side is actually small
     val sh = withShingles(entitySurfaces)
       .select(col("entity_id"), col("shingles"))
     val shSrc = sh.select(col("entity_id").as("src"),
@@ -87,8 +96,8 @@ object Canonicalize {
     val shDst = sh.select(col("entity_id").as("dst"),
       col("shingles").as("dst_sh"))
     pairs
-      .join(broadcast(shSrc), "src")
-      .join(broadcast(shDst), "dst")
+      .join(shSrc, "src")
+      .join(shDst, "dst")
       .withColumn("jaccard",
         size(array_intersect(col("src_sh"), col("dst_sh"))).cast("double") /
           size(array_union(col("src_sh"), col("dst_sh"))))

@@ -44,4 +44,37 @@ object VecOps {
       concat(a.cast("array<double>"),
         array_repeat(lit(fill), greatest(lit(n) - size(a), lit(0)))),
       lit(1), lit(n))
+
+  /** elementwise sum over an array<array<float|double>> column (the
+    * shared core of A10/A11); null on an empty outer array.
+    */
+  private def elementwiseSum(vecs: Column): Column =
+    when(size(vecs) > 0,
+      aggregate(
+        slice(vecs, lit(2), greatest(size(vecs) - 1, lit(0))),
+        transform(element_at(vecs, 1), x => x.cast("double")),
+        (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double"))))
+      .otherwise(lit(null).cast("array<double>"))
+
+  /** A10: mean-pool a token span — given per-token embeddings and a
+    * 0-based (start, len) span, the elementwise mean over the span
+    * (reference: span pooling over subword positions,
+    * src/modules/modules.py:154-171 mean-pool applied to a span slice).
+    * Empty spans -> null.
+    */
+  def spanMeanPool(tokenEmbs: Column, start: Column, len: Column): Column = {
+    val span = slice(tokenEmbs, start.cast("int") + 1, len.cast("int"))
+    transform(elementwiseSum(span), x => x / size(span))
+  }
+
+  /** A11: combine per-layer embeddings elementwise — "sum" or "avg"
+    * (reference: layer-combination pooling,
+    * src/modules/modules.py:120-152).
+    */
+  def combineLayers(layers: Column, mode: String): Column = mode match {
+    case "sum" => elementwiseSum(layers)
+    case "avg" => transform(elementwiseSum(layers), x => x / size(layers))
+    case other =>
+      throw new IllegalArgumentException(s"mode must be sum|avg, got $other")
+  }
 }

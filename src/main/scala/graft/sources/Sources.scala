@@ -171,6 +171,21 @@ object Sources {
         idx0(split(col("context2"), " ", -1), col("word2_context2")))
   }
 
+  /** P10: seeded Bernoulli sample — deterministic for a fixed (seed,
+    * input partitioning) pair (reference: dataset slicing/sampling,
+    * src/dataset/dataset.py:38-56).
+    */
+  def seededSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** O5: seeded shuffle — global reorder by rand(seed) with a unique
+    * tiebreak column for full determinism given the same input
+    * partitioning (reference: epoch shuffling; the KG pipeline itself
+    * derives order from hashes instead — PropertySpec determinism rule).
+    */
+  def seededShuffle(df: DataFrame, seed: Long, tiebreak: String): DataFrame =
+    df.orderBy(rand(seed), col(tiebreak))
+
   /** S9: embedding-file scan — `key v1..vd` rows collected into a
     * broadcastable map (reference: src/utils/utils.py:270-302).
     */

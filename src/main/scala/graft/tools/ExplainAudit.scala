@@ -25,6 +25,7 @@ object ExplainAudit {
     audit("q_agg_filtered_revenue") // expect PushedFilters + ReadSchema
     audit("q_join_broadcast") // expect BroadcastHashJoin
     audit("q_join_semi") // expect BroadcastHashJoin LeftSemi
+    args.foreach(audit) // any extra query names from the CLI
 
     println("\n===== pipeline: spans + extraction =====")
     val turns = TranscriptGen.transcripts(spark, 50, 8, 0, 4).toDF()

@@ -78,4 +78,53 @@ class VecMetricsSpec extends AnyFunSuite {
       .map(_.surface.length).toSeq
     assert(sorted == sorted.sorted)
   }
+
+  test("A10 spanMeanPool / A11 combineLayers agree with plain Scala") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = Seq(
+      Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f),
+      Array(7.0f, 8.0f))
+    val df = Seq((1L, toks)).toDF("id", "tok_embs")
+    // span [1, 3): tokens 1 and 2 -> mean = ((3+5)/2, (4+6)/2)
+    val span = df.select(graft.functions.VecOps
+        .spanMeanPool(col("tok_embs"), lit(1), lit(2)).as("v"))
+      .head().getSeq[Double](0)
+    assert(span == Seq(4.0, 5.0))
+    val sum = df.select(graft.functions.VecOps
+        .combineLayers(col("tok_embs"), "sum").as("v"))
+      .head().getSeq[Double](0)
+    assert(sum == Seq(16.0, 20.0))
+    val avg = df.select(graft.functions.VecOps
+        .combineLayers(col("tok_embs"), "avg").as("v"))
+      .head().getSeq[Double](0)
+    assert(avg == Seq(4.0, 5.0))
+    // empty span -> null, not an error (ANSI-safe)
+    val empty = df.select(graft.functions.VecOps
+        .spanMeanPool(col("tok_embs"), lit(1), lit(0)).as("v"))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("P10 seeded sample and O5 seeded shuffle are deterministic per " +
+    "seed and differ across seeds") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "s").repartition(4).localCheckpoint()
+    val s1 = graft.sources.Sources.seededSample(df, 0.2, 7L)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.sources.Sources.seededSample(df, 0.2, 7L)
+      .collect().map(_.getLong(0)).toSet
+    val s3 = graft.sources.Sources.seededSample(df, 0.2, 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1 != s3 && s1.nonEmpty)
+    val o1 = graft.sources.Sources.seededShuffle(df, 7L, "id")
+      .collect().map(_.getLong(0)).toSeq
+    val o2 = graft.sources.Sources.seededShuffle(df, 7L, "id")
+      .collect().map(_.getLong(0)).toSeq
+    val o3 = graft.sources.Sources.seededShuffle(df, 9L, "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(o1 == o2 && o1 != o3)
+    assert(o1.sorted == o3.sorted) // permutations of the same rows
+  }
 }
