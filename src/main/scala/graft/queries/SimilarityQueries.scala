@@ -155,6 +155,31 @@ object SimilarityQueries {
         .orderBy($"direction")
     }),
 
+    // A10/A11: span mean-pool + layer combine over grouped embeddings
+    // (groups of 4 consecutive vec_ids stand in for per-token /
+    // per-layer embedding stacks). Scalar norm outputs — container
+    // outputs stringify differently across engines.
+    "q_vec_span_pool" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val grouped = emb
+        .select(expr("vec_id div 4").as("gid"), $"vec_id", $"embedding")
+        .groupBy($"gid")
+        .agg(count(lit(1)).as("n"),
+          transform(
+            array_sort(collect_list(struct($"vec_id", $"embedding"))),
+            e => e.getField("embedding")).as("tok"))
+        .filter($"n" === 4)
+      val pooled = graft.functions.VecOps.spanMeanPool($"tok", lit(1), lit(2))
+      val summed = graft.functions.VecOps.combineLayers($"tok", "sum")
+      grouped.select($"gid", $"n",
+          round(graft.functions.VecOps.dot(pooled, pooled), 6)
+            .as("span_norm2"),
+          round(graft.functions.VecOps.dot(summed, summed), 6)
+            .as("sum_norm2"))
+        .orderBy($"gid")
+    }),
+
     // per-label embedding stats (round-before-aggregate => order-free)
     "q_embed_stats" -> ((s, d) => {
       import s.implicits._
@@ -298,6 +323,22 @@ object SimilarityQueries {
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY l2_sq ASC, neighbor_id) AS rank
            FROM stage1) WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q_vec_span_pool" ->
+      """WITH g AS (SELECT vec_id // 4 AS gid, vec_id,
+           CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         a AS (SELECT gid, COUNT(*) AS n,
+           list(e ORDER BY vec_id) AS tok FROM g GROUP BY gid
+           HAVING COUNT(*) = 4),
+         v AS (SELECT gid, n,
+           list_transform(range(1, 65),
+             i -> (tok[2][i] + tok[3][i]) / 2.0) AS pooled,
+           list_transform(range(1, 65),
+             i -> tok[1][i] + tok[2][i] + tok[3][i] + tok[4][i]) AS summed
+           FROM a)
+         SELECT gid, n,
+           ROUND(list_dot_product(pooled, pooled), 6) AS span_norm2,
+           ROUND(list_dot_product(summed, summed), 6) AS sum_norm2
+         FROM v ORDER BY gid""",
     "q_embed_stats" ->
       """WITH e AS (SELECT label,
            ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
