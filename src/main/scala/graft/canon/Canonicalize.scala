@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
   *   5. connected components -> canonical id = min entity_id in component
   *
   * Skew note (SURVEY.md §7.4.4): the band-key equi-join is the salting
-  * point at scale — a degenerate band bucket (e.g. all-empty docs) would
-  * hot-spot one reducer. Buckets here are bounded by construction
-  * (closed vocabulary); at 100 TB add `salt = pmod(hash(entity_id), S)`
-  * inside mega-buckets and merge partials, plus AQE skew-join splitting
-  * (enabled in session conf).
+  * point at scale — a degenerate band bucket (e.g. near-identical
+  * surface clusters) would hot-spot one reducer. Implemented: buckets
+  * above SaltBucketBound are split into SaltFactor^2 join cells
+  * (plans.Salting.saltedSelfJoinPairs, result-set identical), plus AQE
+  * skew-join splitting (enabled in session conf).
   */
 object Canonicalize {
 
@@ -71,19 +71,22 @@ object Canonicalize {
       array_distinct(flatten(transform(col("surfaces"),
         s => TextOps.charShingles(s, 3)))))
 
+  /** Degenerate band buckets (> this many entities) are salted into
+    * SaltFactor^2 join cells (plans.Salting.saltedSelfJoinPairs) — the
+    * north rule's "union-find over a salted self-join". Below the
+    * bound the plan is the plain band equi-join.
+    */
+  val SaltBucketBound = 4096
+  val SaltFactor = 8
+
   /** Verified similarity edges between entities (src < dst). */
   def candidateEdges(
       spark: SparkSession,
       entitySurfaces: DataFrame,
       jaccardThreshold: Double): DataFrame = {
-    val keys = bandKeys(entitySurfaces)
-    val a = keys.alias("a")
-    val b = keys.alias("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.entity_id") < col("b.entity_id"))
-      .select(col("a.entity_id").as("src"), col("b.entity_id").as("dst"))
-      .distinct()
+    val pairs = graft.plans.Salting.saltedSelfJoinPairs(
+      bandKeys(entitySurfaces), "entity_id", "band",
+      SaltBucketBound, SaltFactor)
 
     // no explicit broadcast: the shingle table is one row per ENTITY —
     // fine to broadcast for a closed vocabulary but an OOM trap for

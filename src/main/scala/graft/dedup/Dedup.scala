@@ -80,28 +80,8 @@ object Dedup {
         (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
     }
     val keys = sig.select(col(id), explode(array(bands: _*)).as("band"))
-      .localCheckpoint()
-    // oversized buckets only (few keys by construction) -> broadcast
-    val bigBands = keys.groupBy(col("band")).count()
-      .filter(col("count") > saltBucketBound)
-      .select(col("band"), lit(true).as("big"))
-    val salted = keys.join(broadcast(bigBands), Seq("band"), "left")
-      .withColumn("salt",
-        when(col("big"), pmod(xxhash64(col(id)), lit(saltFactor)).cast("int"))
-          .otherwise(0))
-      .withColumn("reps",
-        when(col("big"), sequence(lit(0), lit(saltFactor - 1)))
-          .otherwise(array(lit(0))))
-    val aSide = salted.select(col(id), col("band"), col("salt"),
-      explode(col("reps")).as("j"))
-    val bSide = salted.select(col(id), col("band"), col("salt"),
-      explode(col("reps")).as("i"))
-    val pairs = aSide.alias("a").join(bSide.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.salt") === col("b.i") && col("a.j") === col("b.salt") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
-      .distinct()
+    val pairs = graft.plans.Salting.saltedSelfJoinPairs(
+      keys, id, "band", saltBucketBound, saltFactor)
     val sigA = sig.select(col(id).as("src") +:
       (0 until numHashes).map(k => col(s"h$k").as(s"a$k")): _*)
     val sigB = sig.select(col(id).as("dst") +:

@@ -31,6 +31,46 @@ object Salting {
       .agg(sum(col("__partial")).as("n"))
   }
 
+  /** Salted self-join pair generation over (id, key) rows — the
+    * degenerate-bucket treatment for LSH banding (north rule: "union-
+    * find over a salted self-join"). Emits every unordered id pair
+    * (src < dst) sharing a key. A key bucket of B rows yields B^2/2
+    * pairs inside ONE join key — one reducer task at cluster scale —
+    * so buckets larger than `bucketBound` are split into `saltFactor`
+    * cells by pmod(xxhash64(id), S): the A side replicates each row to
+    * cell keys (key, salt, j) for all j and the B side to (key, i,
+    * salt) for all i, so every (u, v) cell combination joins exactly
+    * once across S^2 independent keys of ~(B/S)^2 output each. Small
+    * buckets keep salt = 0 with no replication — the default plan (and
+    * the result set, asserted in DedupSpec) is unchanged.
+    */
+  def saltedSelfJoinPairs(
+      keys: DataFrame, idCol: String, keyCol: String,
+      bucketBound: Int, saltFactor: Int): DataFrame = {
+    val k = keys.localCheckpoint()
+    // oversized buckets only (few keys by construction) -> broadcast
+    val bigKeys = k.groupBy(col(keyCol)).count()
+      .filter(col("count") > bucketBound)
+      .select(col(keyCol), lit(true).as("__big"))
+    val salted = k.join(broadcast(bigKeys), Seq(keyCol), "left")
+      .withColumn("__salt", when(col("__big"),
+        pmod(xxhash64(col(idCol)), lit(saltFactor)).cast("int"))
+        .otherwise(0))
+      .withColumn("__reps", when(col("__big"),
+        sequence(lit(0), lit(saltFactor - 1))).otherwise(array(lit(0))))
+    val aSide = salted.select(col(idCol), col(keyCol), col("__salt"),
+      explode(col("__reps")).as("__j"))
+    val bSide = salted.select(col(idCol), col(keyCol), col("__salt"),
+      explode(col("__reps")).as("__i"))
+    aSide.alias("a").join(bSide.alias("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.__salt") === col("b.__i") &&
+          col("a.__j") === col("b.__salt") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("src"), col(s"b.$idCol").as("dst"))
+      .distinct()
+  }
+
   /** Salted LONG sum — same shape for any associative+commutative agg. */
   def saltedSum(
       df: DataFrame,
