@@ -80,8 +80,10 @@ object Dedup {
         (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
     }
     val keys = sig.select(col(id), explode(array(bands: _*)).as("band"))
+    // materialize = false: keys is one cheap explode over the already-
+    // checkpointed sig; pinning a second copy costs more than re-derive
     val pairs = graft.plans.Salting.saltedSelfJoinPairs(
-      keys, id, "band", saltBucketBound, saltFactor)
+      keys, id, "band", saltBucketBound, saltFactor, materialize = false)
     val sigA = sig.select(col(id).as("src") +:
       (0 until numHashes).map(k => col(s"h$k").as(s"a$k")): _*)
     val sigB = sig.select(col(id).as("dst") +:
@@ -139,8 +141,13 @@ object Dedup {
     val prefixLen =
       (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
         .cast("int")
+    // materialized: both branches of the self-join below consume this
+    // frame — without the cut, the posting+dfreq join and the per-doc
+    // collect_list/sort aggregation (the two heaviest shuffles) execute
+    // once per branch
     val prefixes = ordered.select(col(id),
-      explode(slice(col("ord.g"), lit(1), prefixLen)).as("g"))
+        explode(slice(col("ord.g"), lit(1), prefixLen)).as("g"))
+      .localCheckpoint()
     // few-keys/huge-groups postings -> shuffle_hash (SMJ pays sorts)
     val cand = prefixes.alias("a")
       .join(prefixes.alias("b").hint("shuffle_hash"),

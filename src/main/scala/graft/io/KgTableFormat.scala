@@ -72,9 +72,14 @@ final class IcebergTableFormat extends KgTableFormat {
       else base.partitionedBy(col(partitionCols.head),
         partitionCols.tail.map(col): _*)
     w.createOrReplace()
-    // current snapshot id from the Iceberg `snapshots` metadata table
+    // current snapshot id from the Iceberg `snapshots` metadata table.
+    // snapshot_id desc tiebreaks same-millisecond commits; note this is
+    // "table head after my commit" — under CONCURRENT writers another
+    // commit landing between the write and this read wins the race
+    // (pinning the exact own-snapshot id needs Iceberg's Java API,
+    // which this binding deliberately avoids compiling against)
     spark.read.table(s"$table.snapshots")
-      .orderBy(col("committed_at").desc)
+      .orderBy(col("committed_at").desc, col("snapshot_id").desc)
       .select(col("snapshot_id"))
       .head().getLong(0)
   }

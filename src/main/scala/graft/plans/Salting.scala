@@ -43,11 +43,17 @@ object Salting {
     * once across S^2 independent keys of ~(B/S)^2 output each. Small
     * buckets keep salt = 0 with no replication — the default plan (and
     * the result set, asserted in DedupSpec) is unchanged.
+    *
+    * `materialize = false` skips the localCheckpoint when the caller's
+    * input is already one cheap projection away from a materialized
+    * frame (e.g. Dedup's band explode over checkpointed signatures) —
+    * re-deriving it per branch is cheaper than pinning a second copy.
     */
   def saltedSelfJoinPairs(
       keys: DataFrame, idCol: String, keyCol: String,
-      bucketBound: Int, saltFactor: Int): DataFrame = {
-    val k = keys.localCheckpoint()
+      bucketBound: Int, saltFactor: Int,
+      materialize: Boolean = true): DataFrame = {
+    val k = if (materialize) keys.localCheckpoint() else keys
     // oversized buckets only (few keys by construction) -> broadcast
     val bigKeys = k.groupBy(col(keyCol)).count()
       .filter(col("count") > bucketBound)

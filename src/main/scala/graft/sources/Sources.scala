@@ -109,6 +109,10 @@ object Sources {
     val data = numbered(dataPath)
       .select(col("__rn"), split(col("value"), "\t").as("c"))
       .filter(size(col("c")) === 5)
+      // malformed index fields drop the LINE, not the job: under ANSI
+      // mode (default here) element_at/cast on a bad "i1-i2" field
+      // would abort the whole read
+      .filter(element_at(col("c"), 3).rlike("^[0-9]+-[0-9]+$"))
       .select(col("__rn"),
         element_at(col("c"), 1).as("lemma"),
         lower(element_at(col("c"), 2)).as("pos"),

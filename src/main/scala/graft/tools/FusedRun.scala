@@ -9,7 +9,10 @@ object FusedRun {
     val cpus = args.headOption.getOrElse("32").toInt
     val path = args.lift(1).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_bench_turns")
-    val parts = args.lift(3).map(_.toInt).getOrElse(cpus)
+    // positional-order tolerant: "staged" and a numeric parts override
+    // may appear in either of args(2)/args(3)
+    val parts = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts.toString)
@@ -22,7 +25,7 @@ object FusedRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val staged = args.lift(2).contains("staged")
+    val staged = args.exists(_ == "staged")
     val turns = spark.read.parquet(path)
     val walls = (1 to 4).map { i =>
       val t0 = System.nanoTime()
