@@ -123,8 +123,11 @@ object Dedup {
       threshold: Double, shingleN: Int = 2): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // shingle arrays stored SORTED: one sort per document buys the
+    // merge-scan intersect (SortedIntersectSize) for every candidate
+    // pair the document participates in
     val docs = df
-      .select(col(id), shingles(col(text), shingleN).as("sh"))
+      .select(col(id), sort_array(shingles(col(text), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val posting = docs.select(col(id), explode(col("sh")).as("g"))
@@ -154,13 +157,27 @@ object Dedup {
         col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
       .distinct()
-    cand
+    // length prefilter before fetching arrays: jaccard >= t forces
+    // |A n B| >= t*max(|A|,|B|) and |A n B| <= min(|A|,|B|), so
+    // min < t*max rules the pair out from two ints (the sizes table is
+    // one int per doc — AQE broadcasts it)
+    val sizes = docs.select(col(id), size(col("sh")).as("n"))
+    val candF = cand
+      .join(sizes.select(col(id).as("src"), col("n").as("na")), "src")
+      .join(sizes.select(col(id).as("dst"), col("n").as("nb")), "dst")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+    // exact verify: merge-scan intersect over the pre-sorted arrays
+    // (native codegen expression; array_intersect's per-row hash set
+    // was the dominant verification cost)
+    candF
       .join(docs.select(col(id).as("src"), col("sh").as("sha")), "src")
       .join(docs.select(col(id).as("dst"), col("sh").as("shb")), "dst")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("common",
+        graft.functions.SortedIntersectSize.sorted_intersect_size(
+          col("sha"), col("shb")))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("common")))
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("src"), col("dst"),
         col("common").cast("long").as("common"), col("jaccard"))

@@ -113,6 +113,32 @@ class DedupSpec extends AnyFunSuite {
     assert(maxCell <= 30, s"salt cells not spreading: max=$maxCell")
   }
 
+  test("SortedIntersectSize == size(array_intersect) on sorted distinct " +
+    "string arrays (the jaccard verify contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      def arr() = rnd.shuffle((0 until 60).toList).take(rnd.nextInt(30) + 1)
+        .map(x => s"tok$x").distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val mismatch = df.select(
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_size($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatch == 0)
+    // empty-overlap and identical-array edges
+    val edge = Seq((Seq("a", "b"), Seq("c", "d")), (Seq("a", "b"), Seq("a", "b")))
+      .toDF("a", "b")
+      .select(graft.functions.SortedIntersectSize
+        .sorted_intersect_size($"a", $"b").as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 2))
+  }
+
   test("minhashSignatures keeps docs with <2 tokens as NULL-signature " +
     "rows (oracle parity) and lshCandidatePairs excludes them") {
     import spark.implicits._
