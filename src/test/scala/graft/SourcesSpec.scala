@@ -98,6 +98,17 @@ class SourcesSpec extends AnyFunSuite {
       ("run", "v", 0, 2, "run fast", 1)))
   }
 
+  test("WiC TSV loader drops malformed-index lines instead of aborting " +
+    "the read under ANSI mode") {
+    val data = write(dir, "wic.bad.txt",
+      "bank\tN\t1-3\tthe bank closed\ton the bank\n" +
+        "run\tV\tnot-an-index\trun fast\tshe will run\n" + // non-numeric
+        "walk\tV\t2\twalk home\tthey walk\n") // no dash
+    val gold = write(dir, "wic.bad.gold.txt", "T\nF\nT\n")
+    val rows = Sources.wicPairs(spark, data, gold).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "bank")
+  }
+
   test("WiC JSON char-offset span loader") {
     val p = write(dir, "wic.jsonl",
       """{"word":"board","sentence1":"room and board","sentence2":"he sat on the board","label":false,"start1":9,"end1":14,"start2":14,"end2":19}""" + "\n")
