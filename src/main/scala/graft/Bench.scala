@@ -8,18 +8,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Prints exactly ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *    "kg":{...},"scaling":{...}}
+  *    "kg":{...},"scaling":{...},"skew":{...}}
   *
   * - `queries`: per-query wall seconds for the headline driver-contract
-  *   queries on $SPARK_GRAFT_SF_DIR.
+  *   queries on $SPARK_GRAFT_SF_DIR — MIN over 3 interleaved suite
+  *   passes (same warmup + min-of-N protocol as every KG datapoint;
+  *   r2's only "regression" was a single-shot query wall on a noisy
+  *   host window: 100.7 s printed where 3 protected reps read
+  *   13.8-16.6 s).
   * - `kg`: end-to-end KG pipeline (mention->link->triple->canon->
   *   materialize) on a deterministic synthetic transcript corpus,
-  *   triples/sec at full parallelism.
+  *   triples/sec at full parallelism, plus `stages` — per-stage wall
+  *   seconds from one checkpointed staged-path run (Checkpoint.stage
+  *   manifests time each stage; includes each stage's parquet commit).
   * - `scaling`: the same job at N and 4N cores (no real cluster in this
   *   sandbox — BASELINE.md documents this evidence mode), throughput at
   *   both plus efficiency = (tput_hi / tput_lo) / (cpus_hi / cpus_lo).
   *   Each session gets a small warmup run first so JIT state is
   *   comparable between the two measurements.
+  * - `skew`: the same scaling pair on a pathologically skewed corpus
+  *   (one 10^6-turn hot conversation — the north rule's named failure
+  *   mode), demonstrating the (conv_id, turn_idx) entry repartition +
+  *   AQE hold efficiency there too.
   */
 object Bench {
 
@@ -82,6 +92,23 @@ object Bench {
     (runs.map(_._1).min, runs.head._2)
   }
 
+  /** Interleaved scaling pair: `rounds` rounds of (hi, lo), min per
+    * level — a noisy-host window hits both levels; min-per-level then
+    * compares two quiet samples.
+    */
+  private def scalingPair(scaleHi: Int, scaleLo: Int, parts: Int,
+      turnsPath: String, warmupPath: String,
+      rounds: Int): (Double, Double, Long) = {
+    val rs = (1 to rounds).map { _ =>
+      val (hiT, n) = measure(scaleHi, parts, turnsPath, warmupPath,
+        staged = true, reps = 2)
+      val loT = measure(scaleLo, parts, turnsPath, warmupPath,
+        staged = true, reps = 2)._1
+      (hiT, loT, n)
+    }
+    (rs.map(_._1).min, rs.map(_._2).min, rs.head._3)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -98,9 +125,13 @@ object Bench {
     // amortizes fixed costs infinitely better, so the bench should not
     // charge them against scaling either; per-level walls stay >= 20 s
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "800000").toInt
+    // skew corpus: half the convs plus ONE hot conversation carrying
+    // `skewHot` turns (0 disables the skew datapoint)
+    val skewHot = sys.env.getOrElse("SPARK_GRAFT_SKEW_HOT", "1000000").toInt
     val tmp = System.getProperty("java.io.tmpdir")
     val turnsPath = s"$tmp/graft_bench_turns"
     val warmupPath = s"$tmp/graft_bench_warmup"
+    val skewPath = s"$tmp/graft_bench_skew"
 
     // ---- full-parallelism session: queries + corpus gen + timed KG run
     val hi = session(cpusHi, cpusHi)
@@ -108,14 +139,29 @@ object Bench {
     // first timed query isn't charged for suite-wide startup
     try SparkEntry.queries("q_join_star")(hi, sfDir).count()
     catch { case _: Throwable => () }
-    // (name, wallSec, ok) — failures are recorded, never silently timed
+    // 3 interleaved passes over the whole suite, per-query MIN of the
+    // ok samples — reps of the same query are ~a suite apart, so a
+    // noisy-host window cannot cover all three (the single-shot r2
+    // protocol printed one 6-7x outlier as the round's number)
+    val passes = (1 to 3).map { _ =>
+      headline.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(hi, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          (name, (System.nanoTime() - t0) / 1e9, ok)
+        }
+      }
+    }
+    // (name, minWallSec, allRepsOk) — failures recorded, never timed
     val queryTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(hi, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+      val samples = passes.flatten.filter(_._1 == name)
+      if (samples.isEmpty) None
+      else {
+        val okTimes = samples.collect { case (_, t, true) => t }
+        Some((name, if (okTimes.nonEmpty) okTimes.min else -1.0,
+          okTimes.size == samples.size))
       }
     }
     TranscriptGen.transcripts(hi, nConvs = benchConvs, turnsPerConv = 8,
@@ -124,6 +170,10 @@ object Bench {
     TranscriptGen.transcripts(hi, nConvs = benchConvs / 10, turnsPerConv = 8,
       hotTurns = benchConvs / 50, partitions = cpusHi)
       .write.mode("overwrite").parquet(warmupPath)
+    if (skewHot > 0)
+      TranscriptGen.transcripts(hi, nConvs = benchConvs / 2, turnsPerConv = 8,
+        hotTurns = skewHot, partitions = cpusHi * 4)
+        .write.mode("overwrite").parquet(skewPath)
     kgRun(hi, warmupPath, cpusHi) // JIT warmup at 1/10 size
     // min-of-3: the headline number; a 2-sample min still reads 3-4x
     // high when a noisy-host window covers both samples (observed)
@@ -136,6 +186,21 @@ object Bench {
     kgRun(hi, warmupPath, cpusHi, staged = true)
     val tHiStaged =
       (1 to 2).map(_ => kgRun(hi, turnsPath, cpusHi, staged = true)._1).min
+    // per-stage walls: ONE checkpointed staged-path run — each
+    // Checkpoint.stage manifest times its stage (compute + parquet
+    // commit), so regressions localize without re-measurement. This is
+    // the resumable-mode wall, NOT comparable to the in-memory kg wall.
+    val ckptRoot = s"$tmp/graft_bench_ckpt"
+    val rootPath = new org.apache.hadoop.fs.Path(ckptRoot)
+    val fs = rootPath.getFileSystem(hi.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val prof = KgPipeline.run(hi, hi.read.parquet(turnsPath),
+      checkpointRoot = Some(ckptRoot), shufflePartitions = cpusHi,
+      gazetteerFastPathMax = 0)
+    val stageJson = prof.stats
+      .map(s => s""""${s.name}":${f"${s.wallMs / 1000.0}%.3f"}""")
+      .mkString("{", ",", "}")
+    fs.delete(rootPath, true)
     hi.stop()
 
     // ---- scaling pair: same input, same job, N and 4N cores, on the
@@ -143,43 +208,55 @@ object Bench {
     // multi-executor 10^12-turn run uses. Levels are INTERLEAVED
     // (hi, lo, hi, lo) so a noisy-host window (shared hypervisor, walls
     // swing ~2x) hits both levels, and min-per-level compares two quiet
-    // samples.
-    // Three interleaved rounds, symmetric min-of-2 per level per round:
+    // samples. Three interleaved rounds, min-of-2 per level per round:
     // wall swings on this shared host hit single rounds whole (a 99 s
     // outlier on an 18 s job was observed), so the min must get >= 3
     // independent quiet-window shots at BOTH levels.
-    // both levels run the SAME job config — fixed shuffle-partition
-    // count (task granularity), like a real N -> 4N executor scale-up
+    // Both levels run the SAME job config — fixed shuffle-partition
+    // count (task granularity), like a real N -> 4N executor scale-up.
     val scaleParts = cpusHi
-    val rounds = (1 to 3).map { _ =>
-      val hiT = measure(scaleHi, scaleParts, turnsPath, warmupPath,
-        staged = true, reps = 2)._1
-      val loT = measure(scaleLo, scaleParts, turnsPath, warmupPath,
-        staged = true, reps = 2)._1
-      (hiT, loT)
-    }
-    val t8 = rounds.map(_._1).min
-    val t2 = rounds.map(_._2).min
+    val (t8, t2, _) = scalingPair(scaleHi, scaleLo, scaleParts,
+      turnsPath, warmupPath, rounds = 3)
+
+    // ---- skew pair: identical protocol on the hot-conversation corpus
+    // (2 rounds — the corpus is smaller; the claim is "efficiency holds
+    // under skew", evidenced by the same interleaved min-per-level)
+    val skewJson = if (skewHot > 0) {
+      val (sk8, sk2, skTriples) = scalingPair(scaleHi, scaleLo, scaleParts,
+        skewPath, warmupPath, rounds = 2)
+      val skEff = (skTriples / sk8) / (skTriples / sk2) /
+        (scaleHi.toDouble / scaleLo)
+      s""","skew":{"hot_turns":$skewHot,"triples":$skTriples,""" +
+        s""""cpus_lo":$scaleLo,"cpus_hi":$scaleHi,""" +
+        s""""tput_lo":${f"${skTriples / sk2}%.1f"},""" +
+        s""""tput_hi":${f"${skTriples / sk8}%.1f"},""" +
+        s""""efficiency":${f"$skEff%.3f"}}"""
+    } else ""
 
     def tput(t: Double) = triples / t
     val eff = (tput(t8) / tput(t2)) / (scaleHi.toDouble / scaleLo)
     val effSmt = (tput(tHiStaged) / tput(t8)) / (cpusHi.toDouble / scaleHi)
     val qJson = queryTimes
-      .map { case (k, v, ok) => s""""$k":${if (ok) f"$v%.3f" else "-1"}""" }
+      .map { case (k, v, _) => s""""$k":${if (v >= 0) f"$v%.3f" else "-1"}""" }
       .mkString("{", ",", "}")
     val qErrors = queryTimes.collect { case (k, _, false) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = queryTimes.collect { case (_, v, true) => v }.sum + tHi
+    val total = queryTimes.collect { case (_, v, _) if v >= 0 => v }.sum + tHi
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""queries":$qJson,"query_errors":$qErrors,"sf":"$sfDir",""" +
+        s""""query_protocol":"min of 3 interleaved suite passes",""" +
         s""""kg":{"triples":$triples,"wall_sec":${f"$tHi%.3f"},""" +
-        s""""triples_per_sec":${f"${tput(tHi)}%.1f"},"cpus":$cpusHi},""" +
+        s""""triples_per_sec":${f"${tput(tHi)}%.1f"},"cpus":$cpusHi,""" +
+        s""""stages":$stageJson,""" +
+        s""""stages_note":"checkpointed staged-path run; incl parquet commits"},""" +
         s""""scaling":{"cpus_lo":$scaleLo,"cpus_hi":$scaleHi,""" +
         s""""path":"staged-join (scale configuration)",""" +
         s""""tput_lo":${f"${tput(t2)}%.1f"},"tput_hi":${f"${tput(t8)}%.1f"},""" +
         s""""efficiency":${f"$eff%.3f"},""" +
         s""""smt_pair":{"cpus_lo":$scaleHi,"cpus_hi":$cpusHi,""" +
-        s""""efficiency":${f"$effSmt%.3f"}}}}""")
+        s""""efficiency":${f"$effSmt%.3f"}}}""" +
+        skewJson +
+        "}")
   }
 }

@@ -160,13 +160,16 @@ object Dedup {
     // length prefilter before fetching arrays: jaccard >= t forces
     // |A n B| >= t*max(|A|,|B|) and |A n B| <= min(|A|,|B|), so
     // min < t*max rules the pair out from two ints (the sizes table is
-    // one int per doc — AQE broadcasts it)
+    // one int per doc — AQE broadcasts it). Same 1e-9 guard as prefixLen:
+    // t*max can land an FP epsilon ABOVE the exact product (e.g.
+    // 0.07*100 = 7.000000000000001) and would drop a pair sitting
+    // exactly at the threshold; erring looser is safe (verify is exact)
     val sizes = docs.select(col(id), size(col("sh")).as("n"))
     val candF = cand
       .join(sizes.select(col(id).as("src"), col("n").as("na")), "src")
       .join(sizes.select(col(id).as("dst"), col("n").as("nb")), "dst")
       .filter(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
     // exact verify: merge-scan intersect over the pre-sorted arrays
     // (native codegen expression; array_intersect's per-row hash set
     // was the dominant verification cost)

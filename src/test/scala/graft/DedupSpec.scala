@@ -80,6 +80,22 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == Set((1L, 2L)))
   }
 
+  test("jaccardPairs length prefilter survives an exact-integer t*max " +
+    "boundary (FP-epsilon guard on the size filter)") {
+    import spark.implicits._
+    // A ⊂ B with |A|=7 bigrams, |B|=100 bigrams, threshold 0.07:
+    // jaccard = 7/(7+100-7) = 0.07 exactly, but 0.07*100 =
+    // 7.000000000000001 in double — an unguarded `min >= t*max`
+    // prefilter drops the pair even though the exact verify keeps it
+    val toks = (0 to 100).map(i => s"t$i")
+    val big = toks.mkString(" ")            // 100 distinct bigrams
+    val small = toks.take(8).mkString(" ")  // 7 bigrams, all within big's
+    val df = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairs(df, "doc_id", "text", 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(fast == Set((1L, 2L, 0.07)))
+  }
+
   test("lshCandidatePairs salting engages on degenerate buckets and " +
     "preserves the pair set exactly") {
     import spark.implicits._

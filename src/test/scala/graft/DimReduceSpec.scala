@@ -59,6 +59,34 @@ class DimReduceSpec extends AnyFunSuite {
     }
   }
 
+  test("input contract: array<double> accepted, NULL vectors propagate, " +
+    "empty/all-NULL input fails fast with a clear message") {
+    import spark.implicits._
+    // double-typed embeddings (the ADVICE ClassCastException case)
+    val dd = Seq(
+      (1L, Some(Array(1.0, 0.0, 0.0))),
+      (2L, Some(Array(0.0, 1.0, 0.0))),
+      (3L, Option.empty[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val red = DimReduce.svdReduce(dd, "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect()
+    assert(red.length == 3)
+    assert(!red(0).isNullAt(1) && red(0).getSeq[Float](1).length == 2)
+    assert(red(2).isNullAt(1), "NULL vector must propagate as NULL")
+    // empty input: clear driver-side error, not a task NPE
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      DimReduce.fitV(empty, "embedding", 2)
+    }
+    assert(e.getMessage.contains("no non-null"))
+    // non-array column: clear message
+    val bad = Seq((1L, "x")).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      DimReduce.fitV(bad, "embedding", 1)
+    }
+    assert(e2.getMessage.contains("array type"))
+  }
+
   test("result is invariant to input partitioning (deterministic sign " +
     "fix + order-stable accumulation)") {
     val r2 = DimReduce.svdReduce(fixture(2), "vec_id", "embedding", 2)
