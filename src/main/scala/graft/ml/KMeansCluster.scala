@@ -1,0 +1,122 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic Lloyd's k-means over an embedding column (reference:
+  * src/pipeline/clustering.py:8-31 — sklearn KMeans over the encoded
+  * corpus; re-expressed as a driver-controlled DataFrame loop).
+  *
+  * Spark-first shape (one job per iteration, no RDDs):
+  *
+  *   - seeded deterministic init: the k rows with the smallest
+  *     md5("km:" ++ id) (hash-ranked ids — reproducible in any engine
+  *     with md5, unlike sklearn's random init);
+  *   - assignment: centroids are k broadcast LITERALS (k*d doubles),
+  *     argmin over an array of (distance, cluster) structs — pure
+  *     codegen column expressions, no join, no shuffle;
+  *   - update: posexplode to (cluster, dim) cells, per-cell
+  *     DECIMAL-routed mean — partial aggregation makes the shuffle
+  *     k*d rows per task; k*d rows reach the driver (a driver-sized
+  *     aggregate, same contract as broadcast-join sizing);
+  *   - empty clusters keep their previous centroid.
+  *
+  * Cross-engine exactness at a FIXED iteration count (the DuckDB oracle
+  * in MlQueries unrolls the same iterations):
+  *   - inputs quantized to 6 decimals once (float->double cast is
+  *     exact; round is value-deterministic);
+  *   - centroid mean routed through DECIMAL(28,10) sums (exact,
+  *     order-independent — raw double sums differ across engines and
+  *     across Spark task orders), then /count in double, round 6;
+  *   - assignment argmin on round(dist, 6) with cluster id as the
+  *     tiebreak (zip_with/aggregate sums run in array order in both
+  *     engines — the same contract the cosine queries pin bit-equal).
+  *
+  * At 10^12 rows each iteration is one scan + one tiny aggregation —
+  * the canonical distributed Lloyd's plan; callers persist the input
+  * if the upstream lineage is expensive (`cache = true` does a
+  * localCheckpoint, the sandbox analogue of mllib KMeans's
+  * MEMORY_AND_DISK input cache).
+  */
+object KMeansCluster {
+
+  private val SumDec = DecimalType(28, 10)
+
+  /** quantized double vector column (the operator's working precision) */
+  private def quant(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => round(x, 6))
+
+  /** squared L2 distance of quantized vector `q` to literal centroid. */
+  private def dist2(q: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(q, typedLit(centroid.toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Seeded initial centroids: embeddings of the k smallest
+    * md5("km:" ++ id) rows (id as tiebreak); cluster j = j-th in that
+    * order.
+    */
+  def initCentroids(
+      df: DataFrame, id: String, vec: String, k: Int): Array[Array[Double]] = {
+    val rows = df
+      .filter(col(vec).isNotNull)
+      .select(quant(col(vec)).as("q"),
+        md5(concat(lit("km:"), col(id).cast("string")).cast("binary")).as("h"),
+        col(id).cast("string").as("i"))
+      .orderBy(col("h"), col("i"))
+      .limit(k)
+      .collect()
+    require(rows.length == k,
+      s"k-means: need >= $k non-null vectors, got ${rows.length}")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Lloyd's iterations; returns the centroids after `iters` rounds
+    * (cluster j's centroid at index j).
+    */
+  def fit(df: DataFrame, id: String, vec: String, k: Int, iters: Int,
+      cache: Boolean = true): Array[Array[Double]] = {
+    require(k >= 1, s"k=$k"); require(iters >= 0, s"iters=$iters")
+    val pts0 = df.filter(col(vec).isNotNull)
+      .select(col(id).as("__id"), quant(col(vec)).as("q"))
+    val pts = if (cache) pts0.localCheckpoint() else pts0
+    var centroids = initCentroids(pts, "__id", "q", k)
+    val d = centroids(0).length
+    for (_ <- 1 to iters) {
+      // assignment + per-(cluster, dim) decimal mean in ONE job;
+      // k*d rows reach the driver
+      val cells = pts
+        .withColumn("cluster", assignExpr(col("q"), centroids))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(
+          sum(col("v").cast(SumDec)).cast("double") / count(lit(1)), 6)
+          .as("c"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty clusters keep previous
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    require(centroids.forall(_.length == d))
+    centroids
+  }
+
+  /** argmin over literal centroids: array_min of (rounded distance,
+    * cluster id) structs — struct ordering gives the id tiebreak.
+    */
+  def assignExpr(q: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(round(dist2(q, c), 6).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** (id, cluster) assignment after `iters` Lloyd's rounds. */
+  def assign(df: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): DataFrame = {
+    val centroids = fit(df, id, vec, k, iters)
+    df.filter(col(vec).isNotNull)
+      .select(col(id), assignExpr(quant(col(vec)), centroids).as("cluster"))
+  }
+}

@@ -15,9 +15,9 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all
+      SimilarityQueries.all ++ MlQueries.all
 
   def oracle: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle
+      SimilarityQueries.oracle ++ MlQueries.oracle
 }
