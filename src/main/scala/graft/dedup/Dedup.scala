@@ -104,8 +104,12 @@ object Dedup {
     *      (df, shingle) total order;
     *   3. postings emitted for only the first n - ceil(t*n) + 1
     *      shingles per doc (the "prefix");
-    *   4. prefix-prefix equi-join -> candidate pairs;
-    *   5. exact verification: size(array_intersect) of the full
+    *   4. prefix-prefix equi-join -> candidate pairs, keeping the
+    *      minimum matching position on both sides;
+    *   5. candidate pruning from integers only: length filter
+    *      (min >= t*max) and PPJoin positional filter
+    *      (1 + min(na-pa, nb-pb) >= ceil(t*(na+nb)/(1+t)));
+    *   6. exact verification: merge-scan intersect of the full
     *      shingle sets, filter jaccard >= t.
     *
     * EXACT: jaccard(A,B) >= t implies |A∩B| >= ceil(t*|A|) and
@@ -139,37 +143,60 @@ object Dedup {
       .groupBy(col(id))
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"),
         count(lit(1)).as("n_sh"))
-    // 1e-9 guard: FP t*n landing epsilon ABOVE an exact integer would
-    // shorten the prefix below the guarantee; erring longer is safe
+    // RELATIVE 1e-9 guard: FP t*n landing epsilon ABOVE an exact
+    // integer would shorten the prefix below the guarantee; erring
+    // longer is safe. The slack scales with n so the guard still
+    // covers double rounding (~1e-16 relative) at 1e7+ shingles.
     val prefixLen =
-      (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      (col("n_sh") -
+        ceil(lit(threshold) * col("n_sh") - lit(1e-9) * col("n_sh")) + 1)
         .cast("int")
     // materialized: both branches of the self-join below consume this
     // frame — without the cut, the posting+dfreq join and the per-doc
     // collect_list/sort aggregation (the two heaviest shuffles) execute
-    // once per branch
+    // once per branch. `pos` = the token's 1-based rank in the doc's
+    // FULL rare-first order (the prefix is a prefix of it), feeding the
+    // positional (PPJoin) filter below.
     val prefixes = ordered.select(col(id),
-        explode(slice(col("ord.g"), lit(1), prefixLen)).as("g"))
+        posexplode(slice(col("ord.g"), lit(1), prefixLen))
+          .as(Seq("pos0", "g")))
+      .select(col(id), (col("pos0") + 1).as("pos"), col("g"))
       .localCheckpoint()
-    // few-keys/huge-groups postings -> shuffle_hash (SMJ pays sorts)
+    // few-keys/huge-groups postings -> shuffle_hash (SMJ pays sorts).
+    // The pair groupBy replaces the old distinct() (same shuffle shape,
+    // +2 int payload) and computes min(pos) on both sides: each doc's
+    // list is sorted under ONE global total order, so positions are
+    // order-consistent and both minima land on the pair's globally
+    // smallest common prefix token g*.
     val cand = prefixes.alias("a")
       .join(prefixes.alias("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
-      .distinct()
-    // length prefilter before fetching arrays: jaccard >= t forces
-    // |A n B| >= t*max(|A|,|B|) and |A n B| <= min(|A|,|B|), so
-    // min < t*max rules the pair out from two ints (the sizes table is
-    // one int per doc — AQE broadcasts it). Same 1e-9 guard as prefixLen:
-    // t*max can land an FP epsilon ABOVE the exact product (e.g.
-    // 0.07*100 = 7.000000000000001) and would drop a pair sitting
-    // exactly at the threshold; erring looser is safe (verify is exact)
+      .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
+      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"))
+    // Two candidate filters from three ints before fetching arrays
+    // (the sizes table is one int per doc — AQE broadcasts it):
+    //  - length: jaccard >= t forces |A∩B| >= t*max(|A|,|B|) and
+    //    |A∩B| <= min(|A|,|B|), so min < t*max rules the pair out;
+    //  - positional (PPJoin): every common token of a qualifying pair
+    //    sits at position >= pa in A and >= pb in B (g* is the global
+    //    minimum of the common set and per-doc order agrees with the
+    //    global order), so |A∩B| <= 1 + min(na-pa, nb-pb); a qualifying
+    //    pair needs |A∩B| >= ceil(t*(na+nb)/(1+t)) (jaccard algebra).
+    // Both carry the 1e-9 guard of prefixLen: the RHS can land an FP
+    // epsilon ABOVE the exact value (e.g. 0.07*100 = 7.000000000000001)
+    // and would drop a pair sitting exactly at the threshold; erring
+    // looser is safe (verify is exact).
     val sizes = docs.select(col(id), size(col("sh")).as("n"))
+    val minOverlap =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("na") + col("nb"))
+        - lit(1e-9) * (col("na") + col("nb")))
     val candF = cand
       .join(sizes.select(col(id).as("src"), col("n").as("na")), "src")
       .join(sizes.select(col(id).as("dst"), col("n").as("nb")), "dst")
       .filter(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+        (lit(threshold) - lit(1e-9)) * greatest(col("na"), col("nb")))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+        >= minOverlap)
     // exact verify: merge-scan intersect over the pre-sorted arrays
     // (native codegen expression; array_intersect's per-row hash set
     // was the dominant verification cost)

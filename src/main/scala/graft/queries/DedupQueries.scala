@@ -52,6 +52,17 @@ object DedupQueries {
         "doc_id", "text", JaccardThreshold).orderBy($"src", $"dst")
     }),
 
+    // same operator at a REALISTIC near-dup threshold (0.7): here the
+    // rare-first prefix keeps only ~0.3n postings per doc and the
+    // PPJoin positional filter bites — the configuration whose plan is
+    // genuinely pruned at 100-TB scale (the t=0.1 variant above is the
+    // adversarial low-threshold stress)
+    "q_dedup_jaccard_t07" -> ((s, d) => {
+      import s.implicits._
+      graft.dedup.Dedup.jaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", 0.7).orderBy($"src", $"dst")
+    }),
+
     // SimHash-16: bit j set iff majority of distinct tokens have an odd
     // j-th hex digit in md5(token)
     "q_dedup_simhash" -> ((s, d) => {
@@ -70,6 +81,24 @@ object DedupQueries {
 
   private def minhashSql(k: Int): String =
     s"list_aggregate(list_transform(__sh, s -> md5('$k:' || s)), 'min') AS h$k"
+
+  /** all-postings inverted-index jaccard (the oracle restatement of the
+    * prefix-filtered operator — exact by definition, no pruning)
+    */
+  private def jaccardOracleSql(threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, $shinglesSql AS __sh FROM documents),
+       posting AS (SELECT doc_id, len(__sh) AS n_sh, unnest(__sh) AS g
+         FROM d),
+       shared AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+         FROM posting a JOIN posting b
+         ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+       SELECT src, dst, common,
+         CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       FROM shared
+       WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold
+       ORDER BY src, dst"""
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -103,20 +132,8 @@ object DedupQueries {
          JOIN sig b ON p.dst = b.doc_id
          ORDER BY p.src, p.dst"""
     },
-    "q_dedup_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS __sh FROM documents),
-         posting AS (SELECT doc_id, len(__sh) AS n_sh, unnest(__sh) AS g
-           FROM d),
-         shared AS (SELECT a.doc_id AS src, b.doc_id AS dst,
-             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
-           FROM posting a JOIN posting b
-           ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4)
-         SELECT src, dst, common,
-           CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
-         FROM shared
-         WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $JaccardThreshold
-         ORDER BY src, dst""",
+    "q_dedup_jaccard" -> jaccardOracleSql(JaccardThreshold),
+    "q_dedup_jaccard_t07" -> jaccardOracleSql(0.7),
     "q_dedup_simhash" -> {
       val oddSet = "('1','3','5','7','9','b','d','f')"
       val bitTerms = (0 until 16).map { j =>

@@ -96,6 +96,25 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == Set((1L, 2L, 0.07)))
   }
 
+  test("jaccardPairs positional (PPJoin) filter keeps a pair sitting " +
+    "exactly at the overlap bound (shared tokens are the rarest-last)") {
+    import spark.implicits._
+    // A = u1 u2 u3 s1..s7, B = v1 v2 v3 s1..s7: 9 bigrams each, 6
+    // shared (s1s2..s6s7). Shared bigrams have df=2 so the rare-first
+    // order puts them LAST: pa = pb = 4, positional ubound =
+    // 1 + min(9-4, 9-4) = 6 = ceil(0.5*18/1.5) exactly; jaccard =
+    // 6/12 = 0.5 exactly. The pair must survive both boundary checks.
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, s"u1 u2 u3 $shared"), (2L, s"v1 v2 v3 $shared"))
+      .toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(fast == Set((1L, 2L, 0.5)))
+    // and one the positional filter must PRUNE: raise the threshold so
+    // the bound fails (t=0.6 needs ceil(0.6*18/1.6)=7 > ubound 6)
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 0.6).count() == 0)
+  }
+
   test("lshCandidatePairs salting engages on degenerate buckets and " +
     "preserves the pair set exactly") {
     import spark.implicits._
