@@ -5,43 +5,50 @@ import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** MinHash/LSH-blocked entity canonicalization (SURVEY.md §4.3.2-3, §7.3).
+/** Entity canonicalization (SURVEY.md §4.3.2-3, §7.3).
   *
   * Reference analog: iterative smallest-topic -> nearest-topic merging
   * (topic_modeling.py:129-151) and cluster canonicalization; re-expressed
   * at scale as:
   *
   *   1. shingle: char-3-gram set over each entity's surface forms
-  *   2. MinHash signature: K independent permutations, where permutation k
-  *      ranks shingles by md5(k:shingle) and the signature value is the
-  *      MINIMUM digest string — pure column expressions, reproducible in
-  *      any engine that has md5 (the DuckDB oracle uses the identical
-  *      formula)
-  *   3. LSH banding: K/R bands of R rows; equal band -> candidate pair
-  *      (equi-join on band key — never a cross join)
-  *   4. verify: exact Jaccard over the shingle sets >= threshold
-  *   5. connected components -> canonical id = min entity_id in component
+  *   2. EXACT candidate edges: the shared prefix-filtered jaccard join
+  *      (Dedup.jaccardPairsOnSets — rare-first prefix + length +
+  *      positional filters, equi-join on shingle, merge-scan verify);
+  *      identical result to all-pairs at any scale, never a cross join
+  *   3. connected components -> canonical id = min entity_id in component
   *
-  * Skew note (SURVEY.md §7.4.4): the band-key equi-join is the salting
-  * point at scale — a degenerate band bucket (e.g. near-identical
+  * An OPT-IN MinHash/LSH banding generator (candidateEdgesLsh: K
+  * md5-permutation signatures, K/R bands, equal band -> candidate,
+  * exact verify) remains for callers trading recall (0.990 at s=0.5)
+  * for a cheaper join on pathologically self-similar vocabularies.
+  *
+  * Skew note (SURVEY.md §7.4.4): the LSH band-key equi-join is the
+  * salting point at scale — a degenerate band bucket (near-identical
   * surface clusters) would hot-spot one reducer. Implemented: buckets
   * above SaltBucketBound are split into SaltFactor^2 join cells
   * (plans.Salting.saltedSelfJoinPairs, result-set identical), plus AQE
-  * skew-join splitting (enabled in session conf).
+  * skew-join splitting (enabled in session conf). The exact path's
+  * skew treatment is the prefix join's rare-first ordering itself (a
+  * ubiquitous shingle enters a doc's prefix only when nothing rarer
+  * exists) plus AQE.
   */
 object Canonicalize {
 
-  /** LSH parameters. Candidate recall for a pair at true Jaccard s is
+  /** LSH parameters for the OPT-IN banding path (candidateEdgesLsh).
+    * Candidate recall for a pair at true Jaccard s is
     * 1 - (1 - s^BandRows)^(NumHashes/BandRows); with 32 hashes in 16
-    * bands of 2 that is 0.990 at s = 0.5 (the default verify threshold)
-    * and 0.9992 at s = 0.6. CONTRACT: the distributed path is
-    * approximate-by-construction — it can miss a candidate pair sitting
-    * exactly at the threshold with probability (1-s^2)^16, while the
-    * small-input local path is exact all-pairs. Tests that pin
-    * local == distributed do so on a fixed vocabulary where the miss
-    * set is empty (deterministic for fixed md5 inputs); callers needing
-    * guaranteed-exact edges at scale should use
-    * graft.dedup.Dedup.jaccardPairs' prefix-filter scheme instead.
+    * bands of 2 that is 0.990 at s = 0.5 and 0.9992 at s = 0.6.
+    *
+    * Since round 3 the DEFAULT edge generator is EXACT: the
+    * prefix-filtered jaccard join (Dedup.jaccardPairsOnSets — the same
+    * scale-safe AllPairs/PPJoin plan the dedup operator uses), so the
+    * local all-pairs path and the distributed path produce identical
+    * edges by construction at ANY input size — no size-dependent
+    * semantics switch. LSH banding remains available for callers who
+    * explicitly trade recall (0.990 at s=0.5) for the cheaper
+    * signature join on corpora where even prefix-filtered candidate
+    * generation is too dense.
     */
   val NumHashes = 32
   val BandRows = 2
@@ -79,8 +86,29 @@ object Canonicalize {
   val SaltBucketBound = 4096
   val SaltFactor = 8
 
-  /** Verified similarity edges between entities (src < dst). */
+  /** EXACT similarity edges between entities (src < dst): char-3-gram
+    * surface shingles through the shared prefix-filtered jaccard join
+    * (Dedup.jaccardPairsOnSets). Same result set as exact all-pairs at
+    * any scale; candidate generation is pruned by the rare-first
+    * prefix + length + positional filters, never a cross join.
+    */
   def candidateEdges(
+      spark: SparkSession,
+      entitySurfaces: DataFrame,
+      jaccardThreshold: Double): DataFrame =
+    graft.dedup.Dedup.jaccardPairsOnSets(
+      withShingles(entitySurfaces).select(col("entity_id"), col("shingles")),
+      "entity_id", "shingles", jaccardThreshold)
+      .select(col("src"), col("dst"))
+
+  /** OPT-IN approximate edges via MinHash/LSH banding + exact verify:
+    * recall 1-(1-s^BandRows)^(NumHashes/BandRows) per pair (0.990 at
+    * s=0.5) — cheaper than exact candidate generation on corpora whose
+    * surface sets are so self-similar that even prefix-filtered
+    * candidates are dense, at the cost of possibly missing
+    * at-threshold pairs.
+    */
+  def candidateEdgesLsh(
       spark: SparkSession,
       entitySurfaces: DataFrame,
       jaccardThreshold: Double): DataFrame = {
@@ -158,11 +186,13 @@ object Canonicalize {
   val LocalComponentsMaxEdges = 100000L
 
   /** Below this many entities, canonicalization runs entirely
-    * driver-side with EXACT all-pairs Jaccard (O(n^2) is affordable; LSH
-    * banding exists to avoid the quadratic pair space at scale) plus
-    * local union-find — saving several fixed-latency Spark jobs per
-    * pipeline run. The distributed LSH + iterative-CC path is forced in
-    * tests via localMaxEntities = 0.
+    * driver-side with EXACT all-pairs Jaccard plus local union-find —
+    * saving several fixed-latency Spark jobs per pipeline run. This is
+    * now a PURELY PHYSICAL choice: the distributed path's edge
+    * generator (prefix-filtered jaccard) is exact too, so both sides of
+    * the cutoff produce the identical canonical map (pinned in
+    * KgPipelineSpec on a threshold-straddling adversarial vocabulary).
+    * The distributed path is forced in tests via localMaxEntities = 0.
     *
     * Cutoff measured with graft.tools.CanonCrossover (local[4], alias
     * vocabulary with ~n/5 merge clusters): driver-local all-pairs costs

@@ -124,14 +124,28 @@ object Dedup {
     */
   def jaccardPairs(
       df: DataFrame, id: String, text: String,
-      threshold: Double, shingleN: Int = 2): DataFrame = {
+      threshold: Double, shingleN: Int = 2): DataFrame =
+    jaccardPairsOnSets(
+      df.select(col(id), shingles(col(text), shingleN).as("__sh")),
+      id, "__sh", threshold)
+
+  /** The same exact prefix-filtered join over a PRECOMPUTED shingle-set
+    * column (distinct elements; any element order — sorted internally).
+    * This is the shared edge generator: text dedup passes token
+    * n-grams, entity canonicalization passes char-3-gram surface sets
+    * (Canonicalize.candidateEdges), both getting identical exact
+    * semantics.
+    */
+  def jaccardPairsOnSets(
+      df: DataFrame, id: String, setCol: String,
+      threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // shingle arrays stored SORTED: one sort per document buys the
     // merge-scan intersect (SortedIntersectSize) for every candidate
     // pair the document participates in
     val docs = df
-      .select(col(id), sort_array(shingles(col(text), shingleN)).as("sh"))
+      .select(col(id), sort_array(col(setCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val posting = docs.select(col(id), explode(col("sh")).as("g"))

@@ -58,7 +58,7 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(after == before)
   }
 
-  test("canonicalization (LSH + connected components) matches exact oracle") {
+  test("canonicalization (exact edges + connected components) matches exact oracle") {
     // force the DISTRIBUTED path (localMaxEntities = 0); the driver-local
     // fast path is compared against it below
     val got = graft.canon.Canonicalize.canonicalMap(spark, Vocab.entities,
@@ -72,6 +72,52 @@ class KgPipelineSpec extends AnyFunSuite {
     // the fixture must contain at least one real merge
     assert(expected.exists { case (k, v) => k != v },
       "no coreferent entities merged — canon fixture too weak")
+  }
+
+  test("local and distributed canonicalization are pinned equal on an " +
+    "adversarial threshold-straddling vocabulary") {
+    import graft.schema.Entity
+    // 90 seeded-random entities built from a small prefix pool + unique
+    // suffixes so pairwise char-3-gram jaccards crowd AROUND the 0.3
+    // merge threshold — the regime where a recall<1 edge generator
+    // (old LSH default) could diverge from exact all-pairs. Both paths
+    // now use exact generators, so the maps must be identical.
+    val rnd = new scala.util.Random(41)
+    val prefixes = Vector("stream", "sparkle", "springs", "strider",
+      "storage", "station")
+    def word() = {
+      val p = prefixes(rnd.nextInt(prefixes.size))
+      val keep = 4 + rnd.nextInt(p.length - 3)
+      p.take(keep) + (1 to 3 + rnd.nextInt(4))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val entities = (0 until 90).map { i =>
+      val c = word()
+      val aliases = (0 until rnd.nextInt(3)).map { _ =>
+        // mutate one char: a near-identical alias widens the surface set
+        val pos = rnd.nextInt(c.length)
+        c.updated(pos, ('a' + rnd.nextInt(26)).toChar)
+      }
+      Entity(f"ent_adv_$i%03d", c, aliases)
+    }
+    // prove the vocabulary actually straddles: many pairs near 0.3
+    def sh(e: Entity) =
+      (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams).toSet
+    val near = (for {
+      a <- entities; b <- entities if a.entity_id < b.entity_id
+      ja = sh(a); jb = sh(b)
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size
+      if j >= 0.2 && j <= 0.4
+    } yield 1).size
+    assert(near >= 30, s"fixture too weak: only $near pairs near threshold")
+    val dist = graft.canon.Canonicalize.canonicalMap(spark, entities,
+        jaccardThreshold = 0.3, localMaxEntities = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = graft.canon.Canonicalize.canonicalMap(spark, entities,
+        jaccardThreshold = 0.3, localMaxEntities = Int.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == local)
+    assert(dist.exists { case (k, v) => k != v }, "no merges happened")
   }
 
   test("output is invariant to shuffle-partition count (2 vs 8)") {
