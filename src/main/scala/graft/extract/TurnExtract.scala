@@ -125,10 +125,12 @@ object TurnExtract {
       entities: Seq[Entity],
       minScore: Double,
       predicates: Map[String, String],
-      metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None)
+      metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None,
+      prebuiltIndex: Option[IndexedSeq[(String, Array[Float])]] = None)
       : Dataset[Triple] = {
     import spark.implicits._
-    val bcIndex = spark.sparkContext.broadcast(EntityLink.buildIndex(entities))
+    val bcIndex = spark.sparkContext.broadcast(
+      prebuiltIndex.getOrElse(EntityLink.buildIndex(entities)))
     val bcPreds = spark.sparkContext.broadcast(predicates)
 
     turnSpans.as[TurnSpans].mapPartitions { it =>
@@ -160,10 +162,12 @@ object TurnExtract {
       entities: Seq[Entity],
       minScore: Double,
       predicates: Map[String, String],
-      metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None)
+      metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None,
+      prebuiltIndex: Option[IndexedSeq[(String, Array[Float])]] = None)
       : Dataset[TimedTriple] = {
     import spark.implicits._
-    val bcIndex = spark.sparkContext.broadcast(EntityLink.buildIndex(entities))
+    val bcIndex = spark.sparkContext.broadcast(
+      prebuiltIndex.getOrElse(EntityLink.buildIndex(entities)))
     val bcPreds = spark.sparkContext.broadcast(predicates)
     val bcGazUni = spark.sparkContext.broadcast(
       gazetteer.filterNot(_.contains(' ')).toSet)

@@ -37,6 +37,13 @@ trait KgTableFormat {
   /** Read the latest (or a pinned) committed snapshot. */
   def read(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame
+
+  /** Join a base location and a table name in this format's naming
+    * scheme: `<dir>/<name>` for filesystem bindings,
+    * `<catalog.ns>.<name>` for catalog bindings. KgPipeline.materialize
+    * uses this so one `dir` argument works against both.
+    */
+  def tableName(base: String, name: String): String = s"$base/$name"
 }
 
 /** Sandbox binding: snapshot-versioned Parquet (TableIO). `table` is a
@@ -64,6 +71,14 @@ object ParquetSnapshotFormat extends KgTableFormat {
 final class IcebergTableFormat extends KgTableFormat {
   override def write(spark: SparkSession, df: DataFrame, table: String,
       partitionCols: Seq[String], lineage: Seq[String]): Long = {
+    // snapshot ids that existed BEFORE this commit (empty on first
+    // create) — diffed afterwards so a pre-existing snapshot can never
+    // be returned as ours (it used to be possible when the table head
+    // was read unconditionally)
+    val before: Set[Long] =
+      try spark.read.table(s"$table.snapshots")
+        .select(col("snapshot_id")).collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty }
     val base = df.writeTo(table)
       .using("iceberg")
       .tableProperty("graft.lineage", lineage.mkString(","))
@@ -72,16 +87,18 @@ final class IcebergTableFormat extends KgTableFormat {
       else base.partitionedBy(col(partitionCols.head),
         partitionCols.tail.map(col): _*)
     w.createOrReplace()
-    // current snapshot id from the Iceberg `snapshots` metadata table.
-    // snapshot_id desc tiebreaks same-millisecond commits; note this is
-    // "table head after my commit" — under CONCURRENT writers another
-    // commit landing between the write and this read wins the race
-    // (pinning the exact own-snapshot id needs Iceberg's Java API,
-    // which this binding deliberately avoids compiling against)
-    spark.read.table(s"$table.snapshots")
+    // newest snapshot that did not exist before the write, from the
+    // Iceberg `snapshots` metadata table (snapshot_id desc tiebreaks
+    // same-millisecond commits). CONTRACT: under CONCURRENT writers a
+    // sibling commit landing in the same window is indistinguishable
+    // from ours without Iceberg's Java API (which this binding
+    // deliberately avoids compiling against) — the returned id is then
+    // the newest of the concurrent batch, never stale pre-write data.
+    val snaps = spark.read.table(s"$table.snapshots")
       .orderBy(col("committed_at").desc, col("snapshot_id").desc)
       .select(col("snapshot_id"))
-      .head().getLong(0)
+      .collect().map(_.getLong(0))
+    snaps.find(id => !before.contains(id)).getOrElse(snaps.head)
   }
 
   override def read(spark: SparkSession, table: String,
@@ -91,4 +108,7 @@ final class IcebergTableFormat extends KgTableFormat {
         spark.read.option("snapshot-id", snapshotId.toString).table(table)
       case None => spark.read.table(table)
     }
+
+  /** catalog-qualified names join with dots, not path separators. */
+  override def tableName(base: String, name: String): String = s"$base.$name"
 }

@@ -106,12 +106,25 @@ object KgPipeline {
     // in as a cheap drift signal. All components are JVM-stable hashes
     // (String/Seq/Map hashCode are specified murmur/31-based).
     val fingerprint = {
+      // cheap DATA signal: the sorted input-file list of the turns scan
+      // (empty for in-memory frames). Catches the silent-stale-reuse
+      // case of re-pointing the same checkpoint root at a different
+      // file-based corpus; mtimes/counts are deliberately NOT folded in
+      // (a count() job per run is unaffordable at 10^12 rows) —
+      // in-place rewrites of the same paths remain on the documented
+      // one-root-per-corpus contract.
+      val inputSig =
+        try {
+          val fs = turns.inputFiles
+          s"${fs.length}:${fs.sorted.toSeq.hashCode}"
+        } catch { case _: Exception => "na" }
       val desc = Seq(
         s"gaz:${gaz.size}:${gaz.hashCode}",
         s"entities:${entities.size}:${entities.hashCode}",
         s"minLinkScore:$minLinkScore",
         s"predicates:${predicates.hashCode}",
-        s"turnsSchema:${turns.schema.map(f => f.name + ":" + f.dataType.sql)}"
+        s"turnsSchema:${turns.schema.map(f => f.name + ":" + f.dataType.sql)}",
+        s"turnsFiles:$inputSig"
       ).mkString("|")
       java.security.MessageDigest.getInstance("MD5")
         .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -128,13 +141,33 @@ object KgPipeline {
         case None => f
       }
 
+    // Persisted candidate-index table (reference: hnswlib index
+    // save/load, search_pipeline.py:105-124): with checkpointing on,
+    // the index is committed as an `entity_index` stage and LOADED back
+    // on resume (the build is skipped on a matching fingerprint); the
+    // collect is driver-sized by design — this is the broadcast index.
+    val index: IndexedSeq[(String, Array[Float])] = checkpointRoot match {
+      case Some(_) =>
+        val idxDf = stage("entity_index", Seq("entities")) {
+          import spark.implicits._
+          EntityLink.buildIndex(entities)
+            .map { case (id, v) => (id, v.toSeq) }
+            .toDF("entity_id", "vec")
+        }
+        idxDf.orderBy("entity_id").collect()
+          .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+          .toIndexedSeq
+      case None => EntityLink.buildIndex(entities)
+    }
+
     val rawTriples = (if (gaz.size <= gazetteerFastPathMax) {
       // fast path: whole extraction in one shuffle-free pooled
       // mapPartitions pass (north-star shape; gazetteer as broadcast Set)
       stage("triples", Seq("turns", "gazetteer", "entity_index")) {
         import spark.implicits._
         TurnExtract.timedTriplesFromTurns(spark, turnsP.as[Turn],
-            gaz, entities, minLinkScore, predicates, Some(extractionAcc))
+            gaz, entities, minLinkScore, predicates, Some(extractionAcc),
+            prebuiltIndex = Some(index))
           .drop("ts")
       }
     } else {
@@ -149,7 +182,8 @@ object KgPipeline {
       }
       stage("triples", Seq("turn_spans", "entity_index")) {
         TurnExtract.triples(spark, spans, entities, minLinkScore,
-          predicates, Some(extractionAcc)).toDF()
+          predicates, Some(extractionAcc), prebuiltIndex = Some(index))
+          .toDF()
       }
     }).as[Triple]
 
@@ -217,9 +251,11 @@ object KgPipeline {
       format: graft.io.KgTableFormat = graft.io.ParquetSnapshotFormat)
       : (Long, Long) = {
     val nv = format.write(spark, result.nodes.toDF(),
-      s"$dir/nodes", Nil, Seq("canonical_map", "entity_index"))
+      format.tableName(dir, "nodes"), Nil,
+      Seq("canonical_map", "entity_index"))
     val ev = format.write(spark, result.edges.toDF(),
-      s"$dir/edges", Seq("pred"), Seq("triples_canonical"))
+      format.tableName(dir, "edges"), Seq("pred"),
+      Seq("triples_canonical"))
     (nv, ev)
   }
 }

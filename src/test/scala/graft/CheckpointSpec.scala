@@ -51,10 +51,85 @@ class CheckpointSpec extends AnyFunSuite {
     val second = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
       shufflePartitions = 2, gazetteerFastPathMax = 0)
     val byName = second.stats.map(s => s.name -> s.skipped).toMap
+    assert(byName("entity_index"),
+      "persisted candidate index should be loaded, not rebuilt")
     assert(byName("turn_spans"), "turn_spans should be resumed, not rerun")
     assert(byName("triples"), "triples should be resumed, not rerun")
     assert(!byName("edges"), "edges must be recomputed")
     assert(second.triples.collect().toSet == firstTriples)
+  }
+
+  test("the persisted entity index is genuinely LOADED on resume: " +
+    "tampering the committed table changes re-extracted triples") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_ckpt_idx").toString
+    val turns = TranscriptGen.transcripts(spark, nConvs = 40,
+      turnsPerConv = 6, hotTurns = 0, partitions = 2).toDF()
+    val first = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2, gazetteerFastPathMax = 0)
+    val firstTriples = first.triples.collect().toSet
+    // victim: a linked subject that is its own singleton canonical
+    // cluster, so relabeling can never re-introduce its id
+    val canon = graft.oracle.ReferenceOracle.canonicalMap(
+      graft.gen.Vocab.entities)
+    val victim = firstTriples.map(_.subj)
+      .find(s => canon.get(s).contains(s) &&
+        canon.count(_._2 == s) == 1)
+      .getOrElse(fail("no singleton-cluster subject in first triples"))
+
+    // tamper: drop the victim's row from the COMMITTED index table
+    // (keep the manifest so the fingerprint still matches)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxDir = new org.apache.hadoop.fs.Path(root, "entity_index")
+    val kept = spark.read.parquet(idxDir.toString)
+      .filter(col("entity_id") =!= victim)
+      .collect().map(r => (r.getString(0), r.getSeq[Float](1)))
+    val tmpT = Files.createTempDirectory("graft_idx_tamper").toString
+    kept.toSeq.toDF("entity_id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(tmpT)
+    fs.listStatus(idxDir).foreach { st =>
+      if (!st.getPath.getName.startsWith("_")) fs.delete(st.getPath, false)
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmpT)).foreach { st =>
+      if (st.getPath.getName.startsWith("part-"))
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(idxDir, st.getPath.getName))
+    }
+    // drop downstream commits so extraction re-runs FROM the loaded index
+    Seq("triples", "triples_canonical", "edges").foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s), true))
+
+    val second = KgPipeline.run(spark, turns, checkpointRoot = Some(root),
+      shufflePartitions = 2, gazetteerFastPathMax = 0)
+    val byName = second.stats.map(s => s.name -> s.skipped).toMap
+    assert(byName("entity_index"), "tampered index must still be resumed")
+    val secondTriples = second.triples.collect().toSet
+    assert(!secondTriples.exists(t => t.subj == victim || t.obj == victim),
+      s"victim $victim still linked — committed index not actually used")
+    assert(secondTriples != firstTriples)
+  }
+
+  test("re-pointing the same checkpoint root at a DIFFERENT file-based " +
+    "corpus invalidates committed stages (input-files data signal)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ckpt_data").toString
+    val dirA = Files.createTempDirectory("graft_turns_a").toString
+    val dirB = Files.createTempDirectory("graft_turns_b").toString
+    TranscriptGen.transcripts(spark, nConvs = 10, turnsPerConv = 4,
+      hotTurns = 0, partitions = 2).write.mode("overwrite").parquet(dirA)
+    TranscriptGen.transcripts(spark, nConvs = 20, turnsPerConv = 4,
+      hotTurns = 0, partitions = 2).write.mode("overwrite").parquet(dirB)
+    KgPipeline.run(spark, spark.read.parquet(dirA),
+      checkpointRoot = Some(root), shufflePartitions = 2,
+      gazetteerFastPathMax = 0).triples.count()
+    // same schema, same parameters, different data files -> recompute
+    val second = KgPipeline.run(spark, spark.read.parquet(dirB),
+      checkpointRoot = Some(root), shufflePartitions = 2,
+      gazetteerFastPathMax = 0)
+    assert(second.stats.forall(!_.skipped),
+      s"stale reuse: ${second.stats.filter(_.skipped).map(_.name)}")
   }
 
   test("manifest carries lineage and per-partition metrics") {
