@@ -33,11 +33,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline subset: one per physical-op family, heaviest variants. */
+  /** Headline subset: one per physical-op family, heaviest variants.
+    * q_dedup_jaccard runs the adversarial t=0.1 stress; _t07 the
+    * realistic pruned-plan configuration (round 3).
+    */
   private val headline = Seq(
     "q_agg_pricing", "q_join_broadcast", "q_join_star", "q_window_running",
     "q_threshold_sweep", "q_text_ctfidf", "q_dedup_lsh_pairs",
-    "q_dedup_jaccard", "q_ann_brute", "q_ann_lsh_topk")
+    "q_dedup_jaccard", "q_dedup_jaccard_t07", "q_ann_brute",
+    "q_ann_lsh_topk", "q_cluster_kmeans")
 
   /** `parts` (shuffle partitions) is deliberately DECOUPLED from `cpus`:
     * a real cluster keeps spark.sql.shuffle.partitions fixed while the
