@@ -213,10 +213,15 @@ object Canonicalize {
       localMaxEntities: Int = LocalCanonMaxEntities): DataFrame = {
     import spark.implicits._
     if (entities.size <= localMaxEntities) {
-      // same shingle spec as TextOps.charShingles / Embed.ngrams
+      // same shingle spec as TextOps.charShingles: exactly-3-char
+      // padded ngrams. The length filter matters for EMPTY surfaces —
+      // Embed.ngrams keeps the short "##" shingle there while
+      // charShingles drops it, which would merge empty-surface
+      // entities on this path but not on the distributed one.
       val sh = entities.map { e =>
         e.entity_id ->
-          (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams).toSet
+          (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams)
+            .filter(_.length == 3).toSet
       }.toMap
       val ids = entities.map(_.entity_id)
       val edges = for {

@@ -47,6 +47,16 @@ object KMeansCluster {
   private def quant(vec: Column): Column =
     transform(vec.cast("array<double>"), x => round(x, 6))
 
+  /** fail fast on ragged embeddings (same contract as DimReduce): a
+    * longer vector would crash the centroid update with a bare
+    * ArrayIndexOutOfBounds, a shorter one would silently mis-assign
+    * through zip_with NULL padding.
+    */
+  private def checkedDim(q: Column, d: Int): Column =
+    when(size(q) === d, q).otherwise(raise_error(concat(
+      lit("k-means: ragged embedding length "), size(q).cast("string"),
+      lit(s", expected $d"))))
+
   /** squared L2 distance of quantized vector `q` to literal centroid. */
   private def dist2(q: Column, centroid: Array[Double]): Column =
     aggregate(
@@ -72,22 +82,28 @@ object KMeansCluster {
     rows.map(_.getSeq[Double](0).toArray)
   }
 
-  /** Lloyd's iterations; returns the centroids after `iters` rounds
-    * (cluster j's centroid at index j).
+  /** filtered + quantized working set: (__id, q). Checkpointed so the
+    * Lloyd's iterations don't re-execute an expensive upstream lineage
+    * once per round (mllib KMeans caches its input the same way; the
+    * blocks are freed by the ContextCleaner when the frame is GC'd).
     */
-  def fit(df: DataFrame, id: String, vec: String, k: Int, iters: Int,
-      cache: Boolean = true): Array[Array[Double]] = {
-    require(k >= 1, s"k=$k"); require(iters >= 0, s"iters=$iters")
-    val pts0 = df.filter(col(vec).isNotNull)
+  private def prepare(df: DataFrame, id: String, vec: String,
+      cache: Boolean): DataFrame = {
+    val pts = df.filter(col(vec).isNotNull)
       .select(col(id).as("__id"), quant(col(vec)).as("q"))
-    val pts = if (cache) pts0.localCheckpoint() else pts0
+    if (cache) pts.localCheckpoint() else pts
+  }
+
+  private def fitOnPts(pts: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids = initCentroids(pts, "__id", "q", k)
     val d = centroids(0).length
     for (_ <- 1 to iters) {
       // assignment + per-(cluster, dim) decimal mean in ONE job;
       // k*d rows reach the driver
       val cells = pts
-        .withColumn("cluster", assignExpr(col("q"), centroids))
+        .withColumn("cluster",
+          assignExpr(checkedDim(col("q"), d), centroids))
         .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(round(
@@ -100,8 +116,16 @@ object KMeansCluster {
       }
       centroids = next
     }
-    require(centroids.forall(_.length == d))
     centroids
+  }
+
+  /** Lloyd's iterations; returns the centroids after `iters` rounds
+    * (cluster j's centroid at index j).
+    */
+  def fit(df: DataFrame, id: String, vec: String, k: Int, iters: Int,
+      cache: Boolean = true): Array[Array[Double]] = {
+    require(k >= 1, s"k=$k"); require(iters >= 0, s"iters=$iters")
+    fitOnPts(prepare(df, id, vec, cache), k, iters)
   }
 
   /** argmin over literal centroids: array_min of (rounded distance,
@@ -112,11 +136,17 @@ object KMeansCluster {
       struct(round(dist2(q, c), 6).as("d"), lit(j).as("j"))
     }: _*)).getField("j")
 
-  /** (id, cluster) assignment after `iters` Lloyd's rounds. */
+  /** (id, cluster) assignment after `iters` Lloyd's rounds. The final
+    * assignment reuses the checkpointed working set from the fit — the
+    * upstream lineage executes exactly once, not once more per call.
+    */
   def assign(df: DataFrame, id: String, vec: String, k: Int,
       iters: Int): DataFrame = {
-    val centroids = fit(df, id, vec, k, iters)
-    df.filter(col(vec).isNotNull)
-      .select(col(id), assignExpr(quant(col(vec)), centroids).as("cluster"))
+    require(k >= 1, s"k=$k"); require(iters >= 0, s"iters=$iters")
+    val pts = prepare(df, id, vec, cache = true)
+    val centroids = fitOnPts(pts, k, iters)
+    val d = centroids(0).length
+    pts.select(col("__id").as(id),
+      assignExpr(checkedDim(col("q"), d), centroids).as("cluster"))
   }
 }

@@ -77,7 +77,9 @@ object ReferenceOracle {
       jaccardThreshold: Double = 0.5): Map[String, String] = {
     def shingles(e: Entity): Set[String] =
       (e.canonical +: e.aliases).flatMap { s =>
-        Embed.ngrams(s) // same '#'-padded 3-grams as TextOps.charShingles
+        // same '#'-padded EXACTLY-3-char grams as TextOps.charShingles
+        // (the length filter drops the "##" shingle of empty surfaces)
+        Embed.ngrams(s).filter(_.length == 3)
       }.toSet
     val sh = entities.map(e => e.entity_id -> shingles(e)).toMap
     val ids = entities.map(_.entity_id)

@@ -71,6 +71,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-null vectors"))
   }
 
+  test("ragged embedding lengths fail fast with a clear message " +
+    "(no silent zip_with NULL padding)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      KMeansCluster.assign(df, "vec_id", "embedding", 2, 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ragged embedding length")),
+      s"unexpected error: $e")
+  }
+
   test("fit at iters=0 returns the seeded init (hash-ranked ids), " +
     "reproducibly") {
     val df = blobs(2)

@@ -99,7 +99,11 @@ class KgPipelineSpec extends AnyFunSuite {
         c.updated(pos, ('a' + rnd.nextInt(26)).toChar)
       }
       Entity(f"ent_adv_$i%03d", c, aliases)
-    }
+    } ++ Seq(
+      // empty surfaces: both paths must agree these have NO shingles
+      // (exactly-3-char gram spec) and never merge with anything
+      Entity("ent_adv_empty_a", "", Nil),
+      Entity("ent_adv_empty_b", "", Seq("")))
     // prove the vocabulary actually straddles: many pairs near 0.3
     def sh(e: Entity) =
       (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams).toSet
@@ -118,6 +122,9 @@ class KgPipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(dist == local)
     assert(dist.exists { case (k, v) => k != v }, "no merges happened")
+    assert(dist("ent_adv_empty_a") == "ent_adv_empty_a" &&
+      dist("ent_adv_empty_b") == "ent_adv_empty_b",
+      "empty-surface entities must never merge")
   }
 
   test("output is invariant to shuffle-partition count (2 vs 8)") {
