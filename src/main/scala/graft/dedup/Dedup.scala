@@ -211,15 +211,22 @@ object Dedup {
         (lit(threshold) - lit(1e-9)) * greatest(col("na"), col("nb")))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
         >= minOverlap)
-    // exact verify: merge-scan intersect over the pre-sorted arrays
-    // (native codegen expression; array_intersect's per-row hash set
-    // was the dominant verification cost)
+    // exact verify: BOUNDED merge-scan intersect over the pre-sorted
+    // arrays (native codegen expression; array_intersect's per-row
+    // hash set was the dominant verification cost). The per-row
+    // `minOverlap` bound lets the scan stop as soon as the remaining
+    // elements cannot reach it — almost every surviving candidate on a
+    // dense low-threshold corpus fails by a wide margin. A qualifying
+    // pair has common >= ceil(t(na+nb)/(1+t)) >= the loosened bound,
+    // so it is never early-exited and its count is exact; the final
+    // jaccard filter then applies the precise threshold.
     candF
       .join(docs.select(col(id).as("src"), col("sh").as("sha")), "src")
       .join(docs.select(col(id).as("dst"), col("sh").as("shb")), "dst")
       .withColumn("common",
-        graft.functions.SortedIntersectSize.sorted_intersect_size(
-          col("sha"), col("shb")))
+        graft.functions.SortedIntersectSize.sorted_intersect_at_least(
+          col("sha"), col("shb"), minOverlap.cast("int")))
+      .filter(col("common") >= 0)
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -79,15 +79,28 @@ object JaccardProfile {
           least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
         .localCheckpoint()
       println(s"  after positional filter: ${afterPos.count()}")
-      time("verify") {
-        val n = afterPos
-          .join(docs.select(col("doc_id").as("src"), col("sh").as("sha")),
-            "src")
-          .join(docs.select(col("doc_id").as("dst"), col("sh").as("shb")),
-            "dst")
+      val withArrays = afterPos
+        .join(docs.select(col("doc_id").as("src"), col("sh").as("sha")),
+          "src")
+        .join(docs.select(col("doc_id").as("dst"), col("sh").as("shb")),
+          "dst")
+        .localCheckpoint()
+      time("verify-plain") {
+        val n = withArrays
           .withColumn("common",
             graft.functions.SortedIntersectSize.sorted_intersect_size(
               col("sha"), col("shb")))
+          .withColumn("jaccard", col("common").cast("double") /
+            (col("na") + col("nb") - col("common")))
+          .filter(col("jaccard") >= threshold).count()
+        println(s"  result pairs: $n")
+      }
+      time("verify-bounded") {
+        val n = withArrays
+          .withColumn("common",
+            graft.functions.SortedIntersectSize.sorted_intersect_at_least(
+              col("sha"), col("shb"), minOverlap.cast("int")))
+          .filter(col("common") >= 0)
           .withColumn("jaccard", col("common").cast("double") /
             (col("na") + col("nb") - col("common")))
           .filter(col("jaccard") >= threshold).count()

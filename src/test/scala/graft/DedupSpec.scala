@@ -174,6 +174,33 @@ class DedupSpec extends AnyFunSuite {
     assert(edge == Seq(0, 2))
   }
 
+  test("SortedIntersectAtLeast: exact count when >= need, -1 otherwise " +
+    "(early exit never truncates a qualifying pair)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      def arr() = rnd.shuffle((0 until 40).toList).take(rnd.nextInt(25) + 1)
+        .map(x => s"tok$x").distinct.sorted
+      (i.toLong, arr(), arr(), rnd.nextInt(12)) // need in 0..11
+    }
+    val df = rows.toDF("id", "a", "b", "need")
+    val bad = df.select(
+        graft.functions.SortedIntersectSize
+          .sorted_intersect_at_least($"a", $"b", $"need").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"), $"need")
+      .filter($"fast" =!= when($"ref" >= $"need", $"ref").otherwise(-1))
+      .count()
+    assert(bad == 0)
+    // boundary: count == need exactly must return the exact count
+    val exact = Seq((Seq("a", "b", "c"), Seq("a", "b", "z"), 2))
+      .toDF("a", "b", "need")
+      .select(graft.functions.SortedIntersectSize
+        .sorted_intersect_at_least($"a", $"b", $"need"))
+      .collect()(0).getInt(0)
+    assert(exact == 2)
+  }
+
   test("minhashSignatures keeps docs with <2 tokens as NULL-signature " +
     "rows (oracle parity) and lshCandidatePairs excludes them") {
     import spark.implicits._
