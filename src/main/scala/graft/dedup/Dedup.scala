@@ -170,47 +170,51 @@ object Dedup {
     // collect_list/sort aggregation (the two heaviest shuffles) execute
     // once per branch. `pos` = the token's 1-based rank in the doc's
     // FULL rare-first order (the prefix is a prefix of it), feeding the
-    // positional (PPJoin) filter below.
-    val prefixes = ordered.select(col(id),
+    // positional (PPJoin) filter; `n` = the doc's full shingle count,
+    // feeding both integer filters.
+    val prefixes = ordered.select(col(id), col("n_sh").cast("int").as("n"),
         posexplode(slice(col("ord.g"), lit(1), prefixLen))
           .as(Seq("pos0", "g")))
-      .select(col(id), (col("pos0") + 1).as("pos"), col("g"))
+      .select(col(id), col("n"), (col("pos0") + 1).as("pos"), col("g"))
       .localCheckpoint()
+    // Two candidate filters from four ints, applied PER JOINED ROW
+    // inside the join so pruned rows never reach the pair shuffle:
+    //  - length: jaccard >= t forces |A∩B| >= t*max(|A|,|B|) and
+    //    |A∩B| <= min(|A|,|B|), so min < t*max rules the pair out
+    //    (same value for every row of a pair);
+    //  - positional (PPJoin): for the pair's globally SMALLEST common
+    //    prefix token g*, every common token sits at position >= pa in
+    //    A and >= pb in B (per-doc order agrees with the one global
+    //    order), so |A∩B| <= 1 + min(na-pa, nb-pb); a qualifying pair
+    //    needs |A∩B| >= ceil(t*(na+nb)/(1+t)) (jaccard algebra).
+    //    Applied per row this is EXACT: g*'s own row carries the pair's
+    //    LARGEST (na-pa, nb-pb), so a qualifying pair's minimal row
+    //    always survives, and later rows that get pruned only shrink
+    //    the shuffle — min(pos) over survivors is still g*'s position.
+    // Both carry the RELATIVE 1e-9 guard of prefixLen: the RHS can land
+    // an FP epsilon ABOVE the exact value (e.g. 0.07*100 =
+    // 7.000000000000001) and would drop a pair sitting exactly at the
+    // threshold; erring looser is safe (verify is exact).
+    val rowOverlapBound =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n"))
+        - lit(1e-9) * (col("a.n") + col("b.n")))
     // few-keys/huge-groups postings -> shuffle_hash (SMJ pays sorts).
     // The pair groupBy replaces the old distinct() (same shuffle shape,
-    // +2 int payload) and computes min(pos) on both sides: each doc's
-    // list is sorted under ONE global total order, so positions are
-    // order-consistent and both minima land on the pair's globally
-    // smallest common prefix token g*.
-    val cand = prefixes.alias("a")
+    // +int payload); min(pos) minima both land on g* (order-consistent
+    // positions), and na/nb ride as constant-per-doc agg payload so no
+    // sizes re-join is needed.
+    val candF = prefixes.alias("a")
       .join(prefixes.alias("b").hint("shuffle_hash"),
-        col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id"))
+        col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            (lit(threshold) - lit(1e-9)) * greatest(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - col("a.pos"),
+            col("b.n") - col("b.pos")) >= rowOverlapBound)
       .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
-      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"))
-    // Two candidate filters from three ints before fetching arrays
-    // (the sizes table is one int per doc — AQE broadcasts it):
-    //  - length: jaccard >= t forces |A∩B| >= t*max(|A|,|B|) and
-    //    |A∩B| <= min(|A|,|B|), so min < t*max rules the pair out;
-    //  - positional (PPJoin): every common token of a qualifying pair
-    //    sits at position >= pa in A and >= pb in B (g* is the global
-    //    minimum of the common set and per-doc order agrees with the
-    //    global order), so |A∩B| <= 1 + min(na-pa, nb-pb); a qualifying
-    //    pair needs |A∩B| >= ceil(t*(na+nb)/(1+t)) (jaccard algebra).
-    // Both carry the 1e-9 guard of prefixLen: the RHS can land an FP
-    // epsilon ABOVE the exact value (e.g. 0.07*100 = 7.000000000000001)
-    // and would drop a pair sitting exactly at the threshold; erring
-    // looser is safe (verify is exact).
-    val sizes = docs.select(col(id), size(col("sh")).as("n"))
+      .agg(min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
     val minOverlap =
       ceil(lit(threshold / (1.0 + threshold)) * (col("na") + col("nb"))
         - lit(1e-9) * (col("na") + col("nb")))
-    val candF = cand
-      .join(sizes.select(col(id).as("src"), col("n").as("na")), "src")
-      .join(sizes.select(col(id).as("dst"), col("n").as("nb")), "dst")
-      .filter(least(col("na"), col("nb")).cast("double") >=
-        (lit(threshold) - lit(1e-9)) * greatest(col("na"), col("nb")))
-      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
-        >= minOverlap)
     // exact verify: BOUNDED merge-scan intersect over the pre-sorted
     // arrays (native codegen expression; array_intersect's per-row
     // hash set was the dominant verification cost). The per-row
