@@ -233,12 +233,14 @@ object Bench {
     val (t8, t2, _) = scalingPair(scaleHi, scaleLo, scaleParts,
       turnsPath, warmupPath, rounds = 4)
 
-    // ---- skew pair: identical protocol on the hot-conversation corpus
-    // (2 rounds — the corpus is smaller; the claim is "efficiency holds
-    // under skew", evidenced by the same interleaved min-per-level)
+    // ---- skew pair: identical protocol on the hot-conversation corpus.
+    // 3 rounds (6 shots per level): this pair runs LAST (~40 min in) and
+    // with only 4 shots per level one busy-host stretch swallowed a
+    // whole level's minimum (builder runs read 0.924/0.840/0.686 as the
+    // host load ramped — the 0.686 had no quiet 8-core window)
     val skewJson = if (skewHot > 0) {
       val (sk8, sk2, skTriples) = scalingPair(scaleHi, scaleLo, scaleParts,
-        skewPath, warmupPath, rounds = 2)
+        skewPath, warmupPath, rounds = 3)
       val skEff = (skTriples / sk8) / (skTriples / sk2) /
         (scaleHi.toDouble / scaleLo)
       s""","skew":{"hot_turns":$skewHot,"triples":$skTriples,""" +
