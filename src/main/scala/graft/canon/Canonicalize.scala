@@ -95,10 +95,12 @@ object Canonicalize {
   def candidateEdges(
       spark: SparkSession,
       entitySurfaces: DataFrame,
-      jaccardThreshold: Double): DataFrame =
+      jaccardThreshold: Double,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : DataFrame =
     graft.dedup.Dedup.jaccardPairsOnSets(
       withShingles(entitySurfaces).select(col("entity_id"), col("shingles")),
-      "entity_id", "shingles", jaccardThreshold)
+      "entity_id", "shingles", jaccardThreshold, cut)
       .select(col("src"), col("dst"))
 
   /** OPT-IN approximate edges via MinHash/LSH banding + exact verify:
@@ -111,10 +113,12 @@ object Canonicalize {
   def candidateEdgesLsh(
       spark: SparkSession,
       entitySurfaces: DataFrame,
-      jaccardThreshold: Double): DataFrame = {
+      jaccardThreshold: Double,
+      saltBucketBound: Int = SaltBucketBound,
+      saltFactor: Int = SaltFactor): DataFrame = {
     val pairs = graft.plans.Salting.saltedSelfJoinPairs(
       bandKeys(entitySurfaces), "entity_id", "band",
-      SaltBucketBound, SaltFactor)
+      saltBucketBound, saltFactor)
 
     // no explicit broadcast: the shingle table is one row per ENTITY —
     // fine to broadcast for a closed vocabulary but an OOM trap for
@@ -138,9 +142,13 @@ object Canonicalize {
 
   /** Connected components by iterative min-label propagation
     * (driver-controlled DataFrame loop, SURVEY.md §4.3.3), lineage cut per
-    * round with localCheckpoint (SURVEY.md §7.4.7). Converges in
-    * O(component diameter) rounds — alias clusters have diameter <= 2-3;
-    * the iteration cap is a safety net, convergence is checked exactly.
+    * round via the pluggable `cut` strategy (SURVEY.md §7.4.7): the
+    * sandbox default is localCheckpoint; a cluster run passes
+    * [[graft.plans.LineageCut.Reliable]] (checkpoint dir set) so an
+    * executor loss mid-loop recovers from durable storage instead of
+    * failing the whole job. Converges in O(component diameter) rounds —
+    * alias clusters have diameter <= 2-3; the iteration cap is a safety
+    * net, convergence is checked exactly.
     *
     * Returns (entity_id, canonical_id = min id in component).
     */
@@ -148,24 +156,23 @@ object Canonicalize {
       spark: SparkSession,
       vertices: DataFrame, // (entity_id)
       edges: DataFrame, // (src, dst)
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      maxIter: Int = 25,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : DataFrame = {
+    val sym = cut.cut(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
 
-    var labels = vertices
-      .select(col("entity_id"), col("entity_id").as("canonical_id"))
-      .localCheckpoint()
+    var labels = cut.cut(vertices
+      .select(col("entity_id"), col("entity_id").as("canonical_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, sym("dst") === labels("entity_id"))
         .select(sym("src").as("entity_id"), col("canonical_id"))
-      val next = labels.unionByName(neighborMin)
+      val next = cut.cut(labels.unionByName(neighborMin)
         .groupBy("entity_id")
-        .agg(min("canonical_id").as("canonical_id"))
-        .localCheckpoint()
+        .agg(min("canonical_id").as("canonical_id")))
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("entity_id"))
         .filter(col("n.canonical_id") =!= col("o.canonical_id"))
@@ -205,45 +212,126 @@ object Canonicalize {
     */
   val LocalCanonMaxEntities = 2000
 
-  /** Full canonicalization: Seq[Entity] -> (entity_id, canonical_id). */
+  /** Local-path shingle set of one entity's surfaces: same set as the
+    * distributed TextOps.charShingles — exactly-3-char padded ngrams.
+    * The length filter matters for EMPTY surfaces (Embed.ngrams keeps
+    * the short "##" shingle there while charShingles drops it, which
+    * would merge empty-surface entities on this path only). Non-BMP
+    * caveat: Embed.ngrams slides over UTF-16 units while charShingles
+    * substrings codepoints — surfaces outside the BMP could shingle
+    * differently between the two exact paths (none occur in the tested
+    * vocabularies; Embed.ngrams is Locale.ROOT-lowercased like SQL
+    * lower).
+    */
+  private def localShingles(surfaces: Seq[String]): Set[String] =
+    surfaces.flatMap(graft.score.Embed.ngrams).filter(_.length == 3).toSet
+
+  /** Driver-local exact all-pairs jaccard + union-find over collected
+    * (entity_id, surfaces) rows — the physical small-input fast path
+    * shared by both canonicalMap entry points.
+    */
+  private def localAllPairsMap(
+      surf: Seq[(String, Seq[String])],
+      jaccardThreshold: Double): Map[String, String] = {
+    val sh = surf.map { case (id, ss) => id -> localShingles(ss) }.toMap
+    val ids = surf.map(_._1)
+    val edges = for {
+      a <- ids; b <- ids if a < b
+      ja = sh(a); jb = sh(b)
+      if ja.intersect(jb).size.toDouble / ja.union(jb).size >=
+        jaccardThreshold
+    } yield (a, b)
+    localUnionFind(ids, edges)
+  }
+
+  /** Distributed canonicalization over an arbitrary (entity_id,
+    * surfaces) DataFrame: exact prefix-filtered edges -> components.
+    * When the edge set is driver-small the components are solved with
+    * a local union-find over the EDGE-TOUCHED ids only, broadcast back
+    * onto the full id table (isolated entities map to themselves via
+    * coalesce) — the id table itself is never collected, so this path
+    * holds for a 100-TB corpus-derived entity table whose edge set is
+    * sparse.
+    */
+  private def distributedCanonicalMap(
+      spark: SparkSession,
+      entitySurfaces: DataFrame,
+      jaccardThreshold: Double,
+      cut: graft.plans.LineageCut): DataFrame = {
+    import spark.implicits._
+    val ids = entitySurfaces.select(col("entity_id"))
+    val edges = cut.cut(
+      candidateEdges(spark, entitySurfaces, jaccardThreshold, cut))
+    if (edges.count() <= LocalComponentsMaxEdges) {
+      val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+      val compDf = localUnionFind(touched, pairs.toSeq).toSeq
+        .toDF("entity_id", "__cid")
+      ids.join(broadcast(compDf), Seq("entity_id"), "left")
+        .select(col("entity_id"),
+          coalesce(col("__cid"), col("entity_id")).as("canonical_id"))
+    } else {
+      connectedComponents(spark, ids, edges, cut = cut)
+    }
+  }
+
+  /** Full canonicalization: Seq[Entity] -> (entity_id, canonical_id).
+    * The closed-vocabulary entry point (gazetteer contract); below
+    * `localMaxEntities` it runs entirely driver-side with ZERO Spark
+    * jobs. For corpus-derived OPEN entity tables use [[canonicalMapDf]]
+    * — same semantics, no driver-side Seq.
+    */
   def canonicalMap(
       spark: SparkSession,
       entities: Seq[Entity],
       jaccardThreshold: Double = 0.5,
       localMaxEntities: Int = LocalCanonMaxEntities): DataFrame = {
     import spark.implicits._
-    if (entities.size <= localMaxEntities) {
-      // same shingle spec as TextOps.charShingles: exactly-3-char
-      // padded ngrams. The length filter matters for EMPTY surfaces —
-      // Embed.ngrams keeps the short "##" shingle there while
-      // charShingles drops it, which would merge empty-surface
-      // entities on this path but not on the distributed one.
-      val sh = entities.map { e =>
-        e.entity_id ->
-          (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams)
-            .filter(_.length == 3).toSet
-      }.toMap
-      val ids = entities.map(_.entity_id)
-      val edges = for {
-        a <- ids; b <- ids if a < b
-        ja = sh(a); jb = sh(b)
-        if ja.intersect(jb).size.toDouble / ja.union(jb).size >=
-          jaccardThreshold
-      } yield (a, b)
-      localUnionFind(ids, edges).toSeq.toDF("entity_id", "canonical_id")
+    val surf = entities.map(e => (e.entity_id, e.canonical +: e.aliases))
+    if (entities.size <= localMaxEntities)
+      localAllPairsMap(surf, jaccardThreshold).toSeq
+        .toDF("entity_id", "canonical_id")
+    else
+      distributedCanonicalMap(spark, surf.toDF("entity_id", "surfaces"),
+        jaccardThreshold, graft.plans.LineageCut.Default)
+  }
+
+  /** DataFrame-native canonicalization: (entity_id, surfaces:
+    * array<string>) -> (entity_id, canonical_id), never materializing
+    * a driver-side entity Seq — the entry point for OPEN entity sets
+    * extracted from the corpus itself (reference analog: the
+    * corpus-derived synset/cluster sets of
+    * word_sense_pipeline.py:241-252 are built from data, not a fixed
+    * vocabulary). The driver-local fast path is keyed off a cheap
+    * `limit(localMaxEntities + 1).count()` probe (one short-circuiting
+    * job, the DataFrame analogue of `Seq.size`); above it everything
+    * stays distributed end-to-end: exact prefix-filtered edges ->
+    * connected components (or edge-local union-find broadcast back
+    * when the EDGE set — not the entity set — is driver-small).
+    * Both sides of every cutoff produce the identical map
+    * (KgPipelineSpec pins them on a threshold-straddling vocabulary).
+    */
+  def canonicalMapDf(
+      spark: SparkSession,
+      entitySurfaces: DataFrame,
+      jaccardThreshold: Double = 0.5,
+      localMaxEntities: Int = LocalCanonMaxEntities,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : DataFrame = {
+    import spark.implicits._
+    val probe =
+      entitySurfaces.select(col("entity_id"), col("surfaces"))
+        .limit(math.min(localMaxEntities.toLong + 1, Int.MaxValue).toInt)
+        .count()
+    if (probe <= localMaxEntities) {
+      val rows = entitySurfaces.select(col("entity_id"), col("surfaces"))
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[String](1)))
+        .toSeq
+      localAllPairsMap(rows, jaccardThreshold).toSeq
+        .toDF("entity_id", "canonical_id")
     } else {
-      val surf = entities
-        .map(e => (e.entity_id, e.canonical +: e.aliases))
-        .toDF("entity_id", "surfaces")
-      val edges = candidateEdges(spark, surf, jaccardThreshold)
-        .localCheckpoint()
-      if (edges.count() <= LocalComponentsMaxEdges) {
-        val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
-        val comp = localUnionFind(entities.map(_.entity_id), pairs)
-        comp.toSeq.toDF("entity_id", "canonical_id")
-      } else {
-        connectedComponents(spark, surf.select($"entity_id"), edges)
-      }
+      distributedCanonicalMap(spark, entitySurfaces, jaccardThreshold, cut)
     }
   }
 

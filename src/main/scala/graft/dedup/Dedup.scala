@@ -68,13 +68,14 @@ object Dedup {
   def lshCandidatePairs(
       df: DataFrame, id: String, text: String,
       numHashes: Int, bandRows: Int, shingleN: Int = 2,
-      saltBucketBound: Int = 4096, saltFactor: Int = 8): DataFrame = {
-    val sig = minhashSignatures(df, id, text, numHashes, shingleN)
+      saltBucketBound: Int = 4096, saltFactor: Int = 8,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : DataFrame = {
+    val sig = cut.cut(minhashSignatures(df, id, text, numHashes, shingleN)
       // no-shingle docs carry NULL signatures (see minhashSignatures);
       // they have no estimable similarity and concat_ws would otherwise
       // collapse them all into one degenerate band bucket
-      .filter(col("h0").isNotNull)
-      .localCheckpoint()
+      .filter(col("h0").isNotNull))
     val bands = (0 until numHashes / bandRows).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
@@ -124,30 +125,39 @@ object Dedup {
     */
   def jaccardPairs(
       df: DataFrame, id: String, text: String,
-      threshold: Double, shingleN: Int = 2): DataFrame =
+      threshold: Double, shingleN: Int = 2,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default): DataFrame =
     jaccardPairsOnSets(
       df.select(col(id), shingles(col(text), shingleN).as("__sh")),
-      id, "__sh", threshold)
+      id, "__sh", threshold, cut)
 
   /** The same exact prefix-filtered join over a PRECOMPUTED shingle-set
-    * column (distinct elements; any element order — sorted internally).
+    * column (any element order — deduplicated and sorted internally, so
+    * a caller passing duplicate elements still gets true set jaccard).
     * This is the shared edge generator: text dedup passes token
     * n-grams, entity canonicalization passes char-3-gram surface sets
     * (Canonicalize.candidateEdges), both getting identical exact
-    * semantics.
+    * semantics. `cut` picks the lineage-cut strategy for the two
+    * internal reused frames (docs, prefixes) — see
+    * [[graft.plans.LineageCut]]; the default localCheckpoint is right
+    * in-sandbox, a cluster run over expensive lineage opts into
+    * Reliable/Replicated.
     */
   def jaccardPairsOnSets(
       df: DataFrame, id: String, setCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // shingle arrays stored SORTED: one sort per document buys the
     // merge-scan intersect (SortedIntersectSize) for every candidate
-    // pair the document participates in
-    val docs = df
-      .select(col(id), sort_array(col(setCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+    // pair the document participates in. array_distinct enforces the
+    // set contract (idempotent for already-distinct callers, and the
+    // sizes n feeding every filter must be SET sizes).
+    val docs = cut.cut(df
+      .select(col(id), sort_array(array_distinct(col(setCol))).as("sh"))
+      .filter(size(col("sh")) > 0))
     val posting = docs.select(col(id), explode(col("sh")).as("g"))
     val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // rare-first order per doc; struct sort = (df asc, g asc), one
@@ -172,11 +182,11 @@ object Dedup {
     // FULL rare-first order (the prefix is a prefix of it), feeding the
     // positional (PPJoin) filter; `n` = the doc's full shingle count,
     // feeding both integer filters.
-    val prefixes = ordered.select(col(id), col("n_sh").cast("int").as("n"),
+    val prefixes = cut.cut(
+      ordered.select(col(id), col("n_sh").cast("int").as("n"),
         posexplode(slice(col("ord.g"), lit(1), prefixLen))
           .as(Seq("pos0", "g")))
-      .select(col(id), col("n"), (col("pos0") + 1).as("pos"), col("g"))
-      .localCheckpoint()
+      .select(col(id), col("n"), (col("pos0") + 1).as("pos"), col("g")))
     // Two candidate filters from four ints, applied PER JOINED ROW
     // inside the join so pruned rows never reach the pair shuffle:
     //  - length: jaccard >= t forces |A∩B| >= t*max(|A|,|B|) and

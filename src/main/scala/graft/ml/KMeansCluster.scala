@@ -43,9 +43,18 @@ object KMeansCluster {
 
   private val SumDec = DecimalType(28, 10)
 
-  /** quantized double vector column (the operator's working precision) */
-  private def quant(vec: Column): Column =
-    transform(vec.cast("array<double>"), x => round(x, 6))
+  /** quantized double vector column (the operator's working precision).
+    * A NULL ELEMENT inside a vector fails fast here — it would
+    * otherwise NULL every centroid distance (struct ordering then
+    * silently assigns the row to cluster 0) while its non-null dims
+    * still dilute the decimal mean; placing the check in quant covers
+    * every consumer (init collection, assignment, update) once.
+    */
+  private def quant(vec: Column): Column = {
+    val q = transform(vec.cast("array<double>"), x => round(x, 6))
+    when(exists(q, _.isNull), raise_error(
+      lit("k-means: embedding contains a NULL element"))).otherwise(q)
+  }
 
   /** fail fast on ragged embeddings (same contract as DimReduce): a
     * longer vector would crash the centroid update with a bare
@@ -88,10 +97,12 @@ object KMeansCluster {
     * blocks are freed by the ContextCleaner when the frame is GC'd).
     */
   private def prepare(df: DataFrame, id: String, vec: String,
-      cache: Boolean): DataFrame = {
+      cache: Boolean,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : DataFrame = {
     val pts = df.filter(col(vec).isNotNull)
       .select(col(id).as("__id"), quant(col(vec)).as("q"))
-    if (cache) pts.localCheckpoint() else pts
+    if (cache) cut.cut(pts) else pts
   }
 
   private def fitOnPts(pts: DataFrame, k: Int,
@@ -123,18 +134,49 @@ object KMeansCluster {
     * (cluster j's centroid at index j).
     */
   def fit(df: DataFrame, id: String, vec: String, k: Int, iters: Int,
-      cache: Boolean = true): Array[Array[Double]] = {
+      cache: Boolean = true,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : Array[Array[Double]] = {
     require(k >= 1, s"k=$k"); require(iters >= 0, s"iters=$iters")
-    fitOnPts(prepare(df, id, vec, cache), k, iters)
+    fitOnPts(prepare(df, id, vec, cache, cut), k, iters)
   }
 
-  /** argmin over literal centroids: array_min of (rounded distance,
-    * cluster id) structs — struct ordering gives the id tiebreak.
+  /** Cell-count cutoff for the literal-codegen assignment: each
+    * centroid cell materializes ~1 double literal + arithmetic into
+    * the generated Java, and past a few thousand cells the method
+    * blows the JVM's 64KB codegen limits (Janino then falls back to
+    * interpreted eval — a silent hot-path cliff). Above the cutoff the
+    * centroids ride as ONE codegen reference object
+    * (functions.NearestCentroid) whose generated loop size is
+    * independent of k*d. 2048 keeps the bench configuration (k=4,
+    * d=64 = 256 cells) on the unchanged literal plan; both paths are
+    * pinned byte-identical in KMeansSpec at k=128.
+    */
+  val LiteralArgminMaxCells = 2048
+
+  /** argmin of squared L2 distance over the centroids, size-adaptive:
+    * literal-codegen expression at small k*d, reference-object loop
+    * expression above [[LiteralArgminMaxCells]] — identical results by
+    * construction (same accumulation order, rounding, tiebreak).
     */
   def assignExpr(q: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length.toLong * centroids(0).length <= LiteralArgminMaxCells)
+      assignExprLiteral(q, centroids)
+    else assignExprLoop(q, centroids)
+
+  /** literal-centroid path: array_min of (rounded distance, cluster id)
+    * structs — struct ordering gives the id tiebreak.
+    */
+  def assignExprLiteral(q: Column, centroids: Array[Array[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, j) =>
       struct(round(dist2(q, c), 6).as("d"), lit(j).as("j"))
     }: _*)).getField("j")
+
+  /** reference-object path: one codegen'd nested loop, constant
+    * generated-code size at any k*d (functions.NearestCentroid).
+    */
+  def assignExprLoop(q: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.nearest_centroid(q, centroids)
 
   /** (id, cluster) assignment after `iters` Lloyd's rounds. The final
     * assignment reuses the checkpointed working set from the fit — the

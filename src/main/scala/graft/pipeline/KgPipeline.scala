@@ -69,7 +69,17 @@ object KgPipeline {
       gazetteerFastPathMax: Int = GazetteerFastPathMax,
       // gazetteer defaults to the surfaces of the provided entity index
       // (1-2 token phrases); pass explicitly to widen/narrow detection
-      gazetteer: Seq[String] = null): Result = {
+      gazetteer: Seq[String] = null,
+      // OPEN-entity-set canonicalization: a (entity_id, surfaces:
+      // array<string>) DataFrame (e.g. corpus-derived provisional
+      // entities) routed through the DataFrame-native
+      // Canonicalize.canonicalMapDf — no driver-side Seq on the canon
+      // path. Entities outside `entities` keep their own id as
+      // canonical unless merged. NOTE: not folded into the checkpoint
+      // fingerprint (it is data, not a parameter) — callers using
+      // checkpointRoot with a custom entity table follow the same
+      // one-root-per-corpus contract as the turns input.
+      entitySurfacesDf: Option[DataFrame] = None): Result = {
     val gaz = Option(gazetteer).getOrElse(
       entities.flatMap(e => e.canonical +: e.aliases)
         .map(_.toLowerCase).distinct.sorted
@@ -188,7 +198,10 @@ object KgPipeline {
     }).as[Triple]
 
     val canonMap = stage("canonical_map", Seq("entity_index")) {
-      Canonicalize.canonicalMap(spark, entities)
+      entitySurfacesDf match {
+        case Some(df) => Canonicalize.canonicalMapDf(spark, df)
+        case None => Canonicalize.canonicalMap(spark, entities)
+      }
     }
 
     // U-6: observed metrics ride the plan itself (zero extra jobs) —

@@ -25,9 +25,16 @@ object Embed {
   val Dim = 64
   private val Seed = 42
 
-  /** Character 3-grams of the lowercased surface, '#'-padded. */
+  /** Character 3-grams of the lowercased surface, '#'-padded.
+    * Locale.ROOT lowercase matches SQL `lower` (a Turkish-style default
+    * JVM locale would otherwise diverge from the distributed
+    * charShingles path on dotted/dotless I). Known caveat: `sliding`
+    * walks UTF-16 units while charShingles substrings codepoints, so
+    * non-BMP surfaces could shingle differently between the two exact
+    * canonicalization paths (none occur in tested vocabularies).
+    */
   def ngrams(s: String): Iterator[String] = {
-    val t = "#" + s.toLowerCase + "#"
+    val t = "#" + s.toLowerCase(java.util.Locale.ROOT) + "#"
     if (t.length < 3) Iterator.single(t) else t.sliding(3)
   }
 

@@ -87,6 +87,68 @@ class KMeansSpec extends AnyFunSuite {
       s"unexpected error: $e")
   }
 
+  test("NULL element inside an embedding fails fast (no silent " +
+    "cluster-0 assignment)") {
+    import spark.implicits._
+    val df = (1L to 8L).toDF("vec_id")
+      .selectExpr("vec_id",
+        "array(1.0D, CASE WHEN vec_id = 5 THEN NULL ELSE 2.0D END) " +
+          "AS embedding")
+    val e = intercept[Exception] {
+      KMeansCluster.assign(df, "vec_id", "embedding", 2, 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL element")),
+      s"unexpected error: $e")
+  }
+
+  test("literal and reference-object assignment paths are identical at " +
+    "k=128 (incl. exact and rounding ties); assignExpr dispatches by k*d") {
+    import org.apache.spark.sql.functions.col
+    val d = 32
+    val rnd = new scala.util.Random(99)
+    val cents = Array.tabulate(128) { j =>
+      if (j == 0) Array.fill(d)(0.0)
+      else if (j == 1) Array.fill(d)(2.0)
+      // cents(2) differs from cents(0) only past the 6-decimal rounding
+      // grid: dist2 to a point at 0 is d*1e-18 -> rounds to 0.0, tying
+      // with cluster 0 — the id tiebreak must pick 0 on BOTH paths
+      else if (j == 2) Array.fill(d)(1e-9)
+      else Array.fill(d)(math.floor(rnd.nextDouble() * 4e6) / 1e6)
+    }
+    import spark.implicits._
+    val pts =
+      // exact midpoint of cents(0)/cents(1): equal distance, id tiebreak
+      Seq(1000L -> Array.fill(d)(1.0)) ++
+        (0L until 300L).map { i =>
+          val c = cents((i % 128).toInt)
+          i -> c.map(x => x + (rnd.nextInt(5) - 2) * 0.137)
+        }
+    val df = pts.toDF("vec_id", "q")
+      .select(col("vec_id"), col("q").cast("array<double>").as("q"))
+      .repartition(3)
+    def run(c: org.apache.spark.sql.Column) =
+      df.select(col("vec_id"), c.as("cl")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lit = run(KMeansCluster.assignExprLiteral(col("q"), cents))
+    val loop = run(KMeansCluster.assignExprLoop(col("q"), cents))
+    assert(lit == loop)
+    assert(lit(1000L) == 0, "midpoint tie must resolve to cluster 0")
+    // coverage: the fixture actually lands points across many clusters
+    assert(lit.values.toSet.size > 64)
+    // adaptive dispatch: k*d = 4096 > cutoff -> loop expression;
+    // small k*d stays on the literal plan (bench plan unchanged)
+    assert(KMeansCluster.assignExpr(col("q"), cents).toString
+      .toLowerCase.contains("nearestcentroid"))
+    assert(!KMeansCluster.assignExpr(col("q"), cents.take(4)).toString
+      .toLowerCase.contains("nearestcentroid"))
+    // end-to-end smoke on the loop path: full Lloyd's at k=128
+    val a = KMeansCluster.assign(df, "vec_id", "q", 128, 2)
+    assert(a.count() == pts.size)
+  }
+
   test("fit at iters=0 returns the seeded init (hash-ranked ids), " +
     "reproducibly") {
     val df = blobs(2)

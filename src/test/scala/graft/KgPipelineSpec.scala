@@ -74,14 +74,14 @@ class KgPipelineSpec extends AnyFunSuite {
       "no coreferent entities merged — canon fixture too weak")
   }
 
-  test("local and distributed canonicalization are pinned equal on an " +
-    "adversarial threshold-straddling vocabulary") {
+  /** 92 seeded-random entities built from a small prefix pool + unique
+    * suffixes so pairwise char-3-gram jaccards crowd AROUND the 0.3
+    * merge threshold — the regime where a recall<1 edge generator
+    * (old LSH default) could diverge from exact all-pairs. Shared by
+    * the canonicalization-parity tests below.
+    */
+  private lazy val advEntities: Seq[graft.schema.Entity] = {
     import graft.schema.Entity
-    // 90 seeded-random entities built from a small prefix pool + unique
-    // suffixes so pairwise char-3-gram jaccards crowd AROUND the 0.3
-    // merge threshold — the regime where a recall<1 edge generator
-    // (old LSH default) could diverge from exact all-pairs. Both paths
-    // now use exact generators, so the maps must be identical.
     val rnd = new scala.util.Random(41)
     val prefixes = Vector("stream", "sparkle", "springs", "strider",
       "storage", "station")
@@ -91,7 +91,7 @@ class KgPipelineSpec extends AnyFunSuite {
       p.take(keep) + (1 to 3 + rnd.nextInt(4))
         .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
     }
-    val entities = (0 until 90).map { i =>
+    (0 until 90).map { i =>
       val c = word()
       val aliases = (0 until rnd.nextInt(3)).map { _ =>
         // mutate one char: a near-identical alias widens the surface set
@@ -104,6 +104,12 @@ class KgPipelineSpec extends AnyFunSuite {
       // (exactly-3-char gram spec) and never merge with anything
       Entity("ent_adv_empty_a", "", Nil),
       Entity("ent_adv_empty_b", "", Seq("")))
+  }
+
+  test("local and distributed canonicalization are pinned equal on an " +
+    "adversarial threshold-straddling vocabulary") {
+    import graft.schema.Entity
+    val entities = advEntities
     // prove the vocabulary actually straddles: many pairs near 0.3
     def sh(e: Entity) =
       (e.canonical +: e.aliases).flatMap(graft.score.Embed.ngrams).toSet
@@ -125,6 +131,65 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(dist("ent_adv_empty_a") == "ent_adv_empty_a" &&
       dist("ent_adv_empty_b") == "ent_adv_empty_b",
       "empty-surface entities must never merge")
+  }
+
+  test("DataFrame-native canonicalMapDf (open entity set, no Seq " +
+    "materialization) is pinned equal to the Seq path, on both sides " +
+    "of its probe cutoff, end-to-end through KgPipeline") {
+    import spark.implicits._
+    val entities = advEntities
+    // the entity table arrives as a DATAFRAME — the open-entity-set
+    // shape a 100-TB corpus-derived vocabulary would have; no
+    // Seq[Entity] is handed to the canonicalization path
+    val surfDf = entities
+      .map(e => (e.entity_id, e.canonical +: e.aliases))
+      .toDF("entity_id", "surfaces")
+    val expected = graft.canon.Canonicalize.canonicalMap(spark, entities,
+        jaccardThreshold = 0.3, localMaxEntities = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // distributed side of the probe (localMaxEntities = 0)
+    val dist = graft.canon.Canonicalize.canonicalMapDf(spark, surfDf,
+        jaccardThreshold = 0.3, localMaxEntities = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == expected)
+    // driver-local side of the probe (92 entities < Int.MaxValue)
+    val local = graft.canon.Canonicalize.canonicalMapDf(spark, surfDf,
+        jaccardThreshold = 0.3, localMaxEntities = Int.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == expected)
+    // wired into the pipeline: entitySurfacesDf routes canonical_map
+    // through the DataFrame path; triples must equal the default run
+    // (Vocab.entities' surface table produces the same canonical map)
+    val vocabSurf = Vocab.entities
+      .map(e => (e.entity_id, e.canonical +: e.aliases))
+      .toDF("entity_id", "surfaces")
+    def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
+    val viaDf = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4,
+      entitySurfacesDf = Some(vocabSurf)).triples.collect().map(key).toSet
+    val default = KgPipeline.run(spark, turns.toDF(), shufflePartitions = 4)
+      .triples.collect().map(key).toSet
+    assert(viaDf == default)
+  }
+
+  test("opt-in LSH banding edges are a subset of the exact edges, and " +
+    "forced salting preserves the LSH pair set") {
+    import spark.implicits._
+    val surfDf = advEntities
+      .map(e => (e.entity_id, e.canonical +: e.aliases))
+      .toDF("entity_id", "surfaces")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exact = pairs(graft.canon.Canonicalize.candidateEdges(
+      spark, surfDf, 0.3))
+    val lsh = pairs(graft.canon.Canonicalize.candidateEdgesLsh(
+      spark, surfDf, 0.3))
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-edges: ${lsh.diff(exact).take(5)}")
+    assert(lsh.nonEmpty, "LSH recall fixture too weak (no pairs at all)")
+    // salt every band bucket (bound = 1): the pair set must not change
+    val salted = pairs(graft.canon.Canonicalize.candidateEdgesLsh(
+      spark, surfDf, 0.3, saltBucketBound = 1, saltFactor = 4))
+    assert(salted == lsh)
   }
 
   test("output is invariant to shuffle-partition count (2 vs 8)") {
