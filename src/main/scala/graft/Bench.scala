@@ -11,11 +11,16 @@ import org.apache.spark.sql.SparkSession
   *    "kg":{...},"scaling":{...},"skew":{...}}
   *
   * - `queries`: per-query wall seconds for the headline driver-contract
-  *   queries on $SPARK_GRAFT_SF_DIR — MIN over 3 interleaved suite
-  *   passes (same warmup + min-of-N protocol as every KG datapoint;
-  *   r2's only "regression" was a single-shot query wall on a noisy
-  *   host window: 100.7 s printed where 3 protected reps read
-  *   13.8-16.6 s).
+  *   queries on $SPARK_GRAFT_SF_DIR — MIN over 3 suite passes SPREAD
+  *   ACROSS THE BENCH TIMELINE (start / after the KG section / at the
+  *   very end), each pass preceded by a fixed ~1 s sentinel job; a
+  *   pass whose sentinel reads > 2x the session minimum is discarded
+  *   as load-contaminated (`discarded_passes` in the JSON). Rationale:
+  *   r2 AND r3 each printed one 6-9x-outlier query wall because
+  *   back-to-back reps all landed inside one multi-minute busy-host
+  *   stretch; spreading + sentinel makes that window detectable and
+  *   survivable. `jaccard` carries noise-free candidate/verified
+  *   counts per threshold as load-independent selectivity evidence.
   * - `kg`: end-to-end KG pipeline (mention->link->triple->canon->
   *   materialize) on a deterministic synthetic transcript corpus,
   *   triples/sec at full parallelism, plus `stages` — per-stage wall
@@ -65,6 +70,54 @@ object Bench {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  /** Fixed CPU-bound sentinel job (~1 s quiet-host at 32 threads,
+    * input-independent): timed alongside every suite pass so a LOADED
+    * host window is detectable — a pass whose sentinel reads > 2x the
+    * session minimum ran under sustained external load and its query
+    * samples are discarded. Round 2 and round 3 both printed one
+    * 6-9x-outlier query wall because min-of-3 BACK-TO-BACK passes all
+    * landed inside one multi-minute busy stretch; the sentinel plus
+    * spreading the passes across the bench timeline closes that hole.
+    */
+  private def sentinel(s: SparkSession): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode (default) overflow-checks long sums
+      s.range(0, 800000000L, 1, 32).selectExpr("bit_xor(xxhash64(id))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min of 2: a single sub-second job's wall has high relative
+    // variance from scheduling blips alone; the sentinel must read
+    // high only under SUSTAINED load (the condition that poisons a
+    // whole suite pass), not a one-task hiccup
+    math.min(once, once)
+  }
+
+  /** One timed pass over the whole headline suite, prefixed by the
+    * sentinel. Per query: (wall sec, error message or null). Failures
+    * are recorded with the FIRST exception message (a real breakage
+    * must not print as an unexplained -1).
+    */
+  private def suitePass(s: SparkSession, sfDir: String)
+      : (Double, Seq[(String, Double, String)]) = {
+    val sent = sentinel(s)
+    val rows = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(s, sfDir).count(); null }
+          catch { case e: Throwable =>
+            (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).linesIterator.take(1)
+                .mkString).take(200)
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    }
+    (sent, rows)
   }
 
   /** One timed KG run; returns (wallSec, triples). `staged = true`
@@ -143,31 +196,17 @@ object Bench {
     // first timed query isn't charged for suite-wide startup
     try SparkEntry.queries("q_join_star")(hi, sfDir).count()
     catch { case _: Throwable => () }
-    // 3 interleaved passes over the whole suite, per-query MIN of the
-    // ok samples — reps of the same query are ~a suite apart, so a
-    // noisy-host window cannot cover all three (the single-shot r2
-    // protocol printed one 6-7x outlier as the round's number)
-    val passes = (1 to 3).map { _ =>
-      headline.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(hi, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          (name, (System.nanoTime() - t0) / 1e9, ok)
-        }
-      }
-    }
-    // (name, minWallSec, allRepsOk) — failures recorded, never timed
-    val queryTimes = headline.flatMap { name =>
-      val samples = passes.flatten.filter(_._1 == name)
-      if (samples.isEmpty) None
-      else {
-        val okTimes = samples.collect { case (_, t, true) => t }
-        Some((name, if (okTimes.nonEmpty) okTimes.min else -1.0,
-          okTimes.size == samples.size))
-      }
-    }
+    // throwaway sentinel: its first-ever run pays JIT+codegen (~2x),
+    // which would otherwise systematically discard pass 1
+    sentinel(hi)
+    // Pass 1 of 3. The passes are SPREAD ACROSS THE BENCH TIMELINE
+    // (here / after the KG-headline section / at the very end, ~40 min
+    // later in a fresh session) instead of back-to-back: r2 and r3
+    // each printed one 6-9x-outlier query wall because a multi-minute
+    // busy-host stretch covered all back-to-back reps. Each pass also
+    // times the fixed sentinel job so a loaded window is DETECTED, not
+    // just hopefully avoided.
+    val pass1 = suitePass(hi, sfDir)
     TranscriptGen.transcripts(hi, nConvs = benchConvs, turnsPerConv = 8,
       hotTurns = benchConvs / 5, partitions = cpusHi * 4)
       .write.mode("overwrite").parquet(turnsPath)
@@ -210,6 +249,18 @@ object Bench {
       .map(s => s""""${s.name}":${f"${s.wallMs / 1000.0}%.3f"}""")
       .mkString("{", ",", "}")
     fs.delete(rootPath, true)
+    // Pass 2: ~10-20 min into the bench, after the KG-headline section
+    val pass2 = suitePass(hi, sfDir)
+    // Noise-free selectivity evidence for the jaccard operator: counts
+    // are deterministic where walls on a shared host are not — the
+    // candidate/verified numbers prove the in-join filters' pruning
+    // (and catch a silent-cap regression) regardless of host load.
+    val jaccDocs = hi.read.parquet(s"$sfDir/documents.parquet")
+    val jaccJson = Seq("t01" -> 0.1, "t07" -> 0.7).map { case (k, t) =>
+      val (cand, verified) = graft.dedup.Dedup.jaccardPairStats(
+        jaccDocs, "doc_id", "text", t)
+      s""""$k":{"threshold":$t,"candidates":$cand,"verified":$verified}"""
+    }.mkString("{", ",", "}")
     hi.stop()
 
     // ---- scaling pair: same input, same job, N and 4N cores, on the
@@ -250,19 +301,67 @@ object Bench {
         s""""efficiency":${f"$skEff%.3f"}}"""
     } else ""
 
+    // Pass 3: the very end of the bench (~40 min after pass 1), fresh
+    // session — the three passes now span the whole timeline, so a
+    // sustained busy stretch cannot cover them all; its fresh-session
+    // first-read costs are amortized by the same warmup query.
+    val hi3 = session(cpusHi, cpusHi)
+    try SparkEntry.queries("q_join_star")(hi3, sfDir).count()
+    catch { case _: Throwable => () }
+    val pass3 = suitePass(hi3, sfDir)
+    hi3.stop()
+
+    // ---- aggregate the spread passes under the sentinel discard rule:
+    // a pass whose sentinel read > 2x the session minimum ran inside a
+    // loaded window — its TIMINGS are discarded (its errors still
+    // count: a failure is real under any load). If every pass were
+    // discarded (pathological), all are kept rather than reporting
+    // nothing.
+    val passes = Seq(pass1, pass2, pass3)
+    val minSent = passes.map(_._1).min
+    val keptIdx = passes.zipWithIndex
+      .filter { case ((s, _), _) => s <= 2 * minSent }.map(_._2)
+    val usedIdx = if (keptIdx.nonEmpty) keptIdx else passes.indices
+    val discarded = passes.indices.diff(usedIdx).map(_ + 1)
+    // (name, minWallSec over kept ok samples, first error msg or null)
+    val queryTimes = headline.flatMap { name =>
+      val all = passes.flatMap(_._2.filter(_._1 == name))
+      if (all.isEmpty) None
+      else {
+        val okKept = usedIdx.map(passes(_)).flatMap(
+          _._2.collect { case (`name`, t, null) => t })
+        val firstErr = all.collectFirst {
+          case (_, _, e) if e != null => e }.orNull
+        Some((name, if (okKept.nonEmpty) okKept.min else -1.0, firstErr))
+      }
+    }
+
     def tput(t: Double) = triples / t
     val eff = (tput(t8) / tput(t2)) / (scaleHi.toDouble / scaleLo)
     val effSmt = (tput(tHiStaged) / tput(t8)) / (cpusHi.toDouble / scaleHi)
     val qJson = queryTimes
       .map { case (k, v, _) => s""""$k":${if (v >= 0) f"$v%.3f" else "-1"}""" }
       .mkString("{", ",", "}")
-    val qErrors = queryTimes.collect { case (k, _, false) => s""""$k"""" }
-      .mkString("[", ",", "]")
-    val total = queryTimes.collect { case (_, v, _) if v >= 0 => v }.sum + tHi
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qErrors = queryTimes.collect { case (k, _, e) if e != null =>
+      s""""$k"""" }.mkString("[", ",", "]")
+    val qErrorMsgs = queryTimes.collect { case (k, _, e) if e != null =>
+      s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
+    // total covers only fully-clean queries (any-pass failures are in
+    // query_errors, never summed) plus the KG headline wall
+    val total = queryTimes
+      .collect { case (_, v, null) if v >= 0 => v }.sum + tHi
+    val sentJson = passes.map(p => f"${p._1}%.3f").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s""""queries":$qJson,"query_errors":$qErrors,"sf":"$sfDir",""" +
-        s""""query_protocol":"min of 3 interleaved suite passes",""" +
+        s""""queries":$qJson,"query_errors":$qErrors,""" +
+        s""""query_error_msgs":$qErrorMsgs,"sf":"$sfDir",""" +
+        s""""query_protocol":"min over ok samples of 3 suite passes """ +
+        s"""spread across the bench timeline (start/post-KG/end); a """ +
+        s"""pass whose sentinel exceeds 2x the session minimum is """ +
+        s"""discarded","sentinels":$sentJson,""" +
+        s""""discarded_passes":${discarded.mkString("[", ",", "]")},""" +
+        s""""jaccard":$jaccJson,""" +
         s""""kg":{"triples":$triples,"wall_sec":${f"$tHi%.3f"},""" +
         s""""triples_per_sec":${f"${tput(tHi)}%.1f"},"cpus":$cpusHi,""" +
         s""""stages":$stageJson,""" +

@@ -148,6 +148,37 @@ object Dedup {
       threshold: Double,
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
       : DataFrame = {
+    val (docs, candF) = jaccardCandidates(df, id, setCol, threshold, cut)
+    jaccardVerify(docs, candF, id, threshold)
+  }
+
+  /** Noise-free selectivity evidence for the jaccard operator:
+    * (candidate pairs surviving the in-join length+positional filters,
+    * exact result pairs) — wall clocks on a shared host are weak
+    * evidence, counts are deterministic; the bench emits these per
+    * threshold so the filters' pruning claims are checkable
+    * round-over-round. Costs one extra lineage cut + two counts.
+    */
+  def jaccardPairStats(
+      df: DataFrame, id: String, text: String,
+      threshold: Double, shingleN: Int = 2,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      : (Long, Long) = {
+    val (docs, candF0) = jaccardCandidates(
+      df.select(col(id), shingles(col(text), shingleN).as("__sh")),
+      id, "__sh", threshold, cut)
+    val candF = cut.cut(candF0)
+    (candF.count(), jaccardVerify(docs, candF, id, threshold).count())
+  }
+
+  /** shared stages 1-5 (see [[jaccardPairs]]): returns the materialized
+    * sorted-set doc table and the LAZY filtered candidate-pair frame
+    * (src, dst, na, nb).
+    */
+  private def jaccardCandidates(
+      df: DataFrame, id: String, setCol: String,
+      threshold: Double,
+      cut: graft.plans.LineageCut): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // shingle arrays stored SORTED: one sort per document buys the
@@ -222,6 +253,15 @@ object Dedup {
             col("b.n") - col("b.pos")) >= rowOverlapBound)
       .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
       .agg(min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    (docs, candF)
+  }
+
+  /** stage 6 (see [[jaccardPairs]]): bounded merge-scan verification of
+    * the candidate pairs against the full sorted shingle sets.
+    */
+  private def jaccardVerify(
+      docs: DataFrame, candF: DataFrame, id: String,
+      threshold: Double): DataFrame = {
     val minOverlap =
       ceil(lit(threshold / (1.0 + threshold)) * (col("na") + col("nb"))
         - lit(1e-9) * (col("na") + col("nb")))
