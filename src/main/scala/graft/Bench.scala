@@ -261,6 +261,31 @@ object Bench {
         jaccDocs, "doc_id", "text", t)
       s""""$k":{"threshold":$t,"candidates":$cand,"verified":$verified}"""
     }.mkString("{", ",", "}")
+    // open-entity pipeline datapoint: corpus-DERIVED provisional
+    // entities (shape detection + DataFrame-native canonicalization) —
+    // the open-entity scale path gets its own throughput evidence.
+    // Quarter-size corpus: the point is the per-triple cost of the
+    // open path, not another scaling pair.
+    val openConvs = benchConvs / 4
+    val openPath = s"$tmp/graft_bench_open"
+    TranscriptGen.openTranscripts(hi, nConvs = openConvs, turnsPerConv = 8,
+        nBases = TranscriptGen.MaxOpenBases, partitions = cpusHi * 2)
+      .write.mode("overwrite").parquet(openPath)
+    def openRun(): (Double, Long) = {
+      val df = hi.read.parquet(openPath)
+      val t0 = System.nanoTime()
+      val n = KgPipeline.runOpen(hi, df, shufflePartitions = cpusHi)
+        .triples.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    openRun() // JIT/codegen warmup, same protocol as every datapoint
+    val openRuns = (1 to 2).map(_ => openRun())
+    val (tOpen, openTriples) =
+      (openRuns.map(_._1).min, openRuns.head._2)
+    val openJson =
+      s""""kg_open":{"convs":$openConvs,"triples":$openTriples,""" +
+        s""""wall_sec":${f"$tOpen%.3f"},""" +
+        s""""triples_per_sec":${f"${openTriples / tOpen}%.1f"}}"""
     hi.stop()
 
     // ---- scaling pair: same input, same job, N and 4N cores, on the
@@ -361,7 +386,7 @@ object Bench {
         s"""pass whose sentinel exceeds 2x the session minimum is """ +
         s"""discarded","sentinels":$sentJson,""" +
         s""""discarded_passes":${discarded.mkString("[", ",", "]")},""" +
-        s""""jaccard":$jaccJson,""" +
+        s""""jaccard":$jaccJson,$openJson,""" +
         s""""kg":{"triples":$triples,"wall_sec":${f"$tHi%.3f"},""" +
         s""""triples_per_sec":${f"${tput(tHi)}%.1f"},"cpus":$cpusHi,""" +
         s""""stages":$stageJson,""" +

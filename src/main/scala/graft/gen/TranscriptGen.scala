@@ -73,4 +73,73 @@ object TranscriptGen {
       .repartition(partitions, hash($"text", $"turn_idx"))
       .as[Turn]
   }
+
+  /** Stems for the open-entity surface pool (openTranscripts): pairwise
+    * char-3-gram jaccard between different stems stays well under the
+    * 0.5 merge threshold, while the two digit-suffix spellings of ONE
+    * base sit well above it — so open-entity canonicalization has real
+    * merges to find and real non-merges to preserve.
+    */
+  private val OpenStems = IndexedSeq(
+    "alphasvc", "bravosvc", "lunarsvc", "quartzsvc",
+    "vertexsvc", "ospreysvc", "falconsvc", "gandersvc")
+  val MaxOpenBases: Int = OpenStems.size
+
+  /** The two deterministic spellings of open base `b` — e.g.
+    * ("alphasvc07", "alphasvc079"): same stem, digit suffixes chosen so
+    * their shingle jaccard is ~0.75 (merge expected; canonical id =
+    * the lexicographically smaller "open:alphasvc07").
+    */
+  def openVariants(b: Int): (String, String) = {
+    val v1 = f"${OpenStems(b % OpenStems.size)}$b%02d"
+    (v1, v1 + "9")
+  }
+
+  /** Open-entity conversations (conv ids `conv_open_*`): subjects and
+    * objects drawn from digit-suffixed PROVISIONAL surfaces (two
+    * spelling variants per base — see [[openVariants]]) mixed with
+    * closed gazetteer unigrams, so extraction yields open-open,
+    * open-closed, and closed-closed triples. Same deterministic
+    * columnar construction as [[transcripts]]; the oracle never
+    * regenerates text — it extracts from the emitted rows.
+    */
+  def openTranscripts(
+      spark: SparkSession,
+      nConvs: Int,
+      turnsPerConv: Int,
+      nBases: Int,
+      partitions: Int = 8): Dataset[Turn] = {
+    import spark.implicits._
+    require(nBases >= 1 && nBases <= MaxOpenBases,
+      s"nBases must be in [1, $MaxOpenBases], got $nBases")
+    val variants = (0 until nBases).flatMap { b =>
+      val (v1, v2) = openVariants(b); Seq(v1, v2)
+    }
+    // closed unigram surfaces keep open turns producing cross triples
+    val pool = variants ++ IndexedSeq("kafka", "redis", "postgres", "airflow")
+
+    val ids = spark.range(nConvs.toLong * turnsPerConv)
+      .withColumn("conv_id",
+        format_string("conv_open_%06d", ($"id" / turnsPerConv).cast("long")))
+      .withColumn("turn_idx", ($"id" % turnsPerConv).cast("int"))
+
+    val t = pmod(hash($"conv_id", $"turn_idx", lit(20)), lit(10))
+    val subj = pick(pool, 21)
+    val obj = pick(pool, 22)
+    val pred = pick(Vocab.predicateTokens, 23)
+    val fillA = pick(Vocab.fillers, 24)
+    val fillB = pick(Vocab.fillers, 25)
+    val text =
+      when(t < 6, concat_ws(" ", fillA, subj, pred, obj, fillB))
+        .when(t < 8, concat_ws(" ", fillA, subj, fillB))
+        .otherwise(concat_ws(" ", fillA, fillB))
+    val role = pick(Vocab.roles, 26)
+    val tool = when(role === "tool", pick(Vocab.tools, 27)).otherwise(lit(""))
+    val ts = expr(
+      "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,turn_idx,0)")
+    ids.select($"conv_id", $"turn_idx", role.as("role"), text.as("text"),
+        tool.as("tool"), ts.as("ts"))
+      .repartition(partitions, hash($"text", $"turn_idx"))
+      .as[Turn]
+  }
 }

@@ -95,6 +95,41 @@ object MentionDetect {
         $"surface")
   }
 
+  /** Default token shape for OPEN (non-gazetteer) entity detection:
+    * letters followed by >= 2 digits — service/resource-style names;
+    * disjoint by construction from the all-letter gazetteer, filler,
+    * and predicate vocabularies.
+    */
+  val OpenShapePattern = "^[a-z]+[0-9]{2,}$"
+
+  /** Shape-heuristic OPEN mention detection (SURVEY.md §4.3.2's open
+    * entity set; reference analog: corpus-derived cluster/synset sets,
+    * word_sense_pipeline.py:241-252 — entities come from the data, not
+    * a fixed vocabulary). Unigram tokens matching `shapePattern` that
+    * are not a token of ANY gazetteer surface become provisional
+    * mentions; the caller assigns them `open:<surface>` entity ids and
+    * canonicalizes them with Canonicalize.canonicalMapDf. Pure
+    * Catalyst: tokenize -> posexplode -> rlike filter -> broadcast
+    * anti-join (the gazetteer-token table is driver-small by the same
+    * contract as the gazetteer broadcast).
+    */
+  def openMentions(
+      spark: SparkSession,
+      turns: DataFrame,
+      gazetteer: Seq[String],
+      shapePattern: String = OpenShapePattern): Dataset[Mention] = {
+    import spark.implicits._
+    val gazToks = gazetteer.flatMap(_.split(" ")).distinct.toDF("surface")
+    turns
+      .select($"conv_id", $"turn_idx",
+        posexplode(TextOps.tokens($"text")).as(Seq("token_pos", "surface")))
+      .filter($"surface".rlike(shapePattern))
+      .join(broadcast(gazToks), Seq("surface"), "left_anti")
+      .select($"conv_id", $"turn_idx", $"token_pos",
+        lit(1).as("token_len"), $"surface")
+      .as[Mention]
+  }
+
   /** turns(conv_id, turn_idx, text, ...) -> Dataset[Mention]. */
   def mentions(
       spark: SparkSession,

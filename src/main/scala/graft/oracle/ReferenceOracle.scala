@@ -68,6 +68,76 @@ object ReferenceOracle {
     }
   }
 
+  /** Open-entity extraction oracle: [[triples]] plus provisional
+    * mentions for every token matching `shapePattern` that is not a
+    * token of any gazetteer surface (entity id `open:<token>`, link
+    * score 1.0) — the sequential restatement of KgPipeline.runOpen's
+    * detection/linking/pairing (BEFORE canonical relabeling; relabel
+    * with [[openCanonicalMap]]).
+    */
+  def openTriples(
+      turns: Seq[Turn],
+      entities: Seq[Entity] = Vocab.entities,
+      gazetteer: Set[String] = Vocab.gazetteer.toSet,
+      predicates: Map[String, String] = Vocab.predicates,
+      minScore: Double = Vocab.minLinkScore,
+      shapePattern: String = graft.mention.MentionDetect.OpenShapePattern)
+      : Seq[Triple] = {
+    val index = EntityLink.buildIndex(entities)
+    val gazToks = gazetteer.flatMap(_.split(" "))
+    val re = shapePattern.r
+    turns.flatMap { t =>
+      val toks = tokenize(t.text)
+      val closed = detectMentions(toks, gazetteer).flatMap {
+        case (pos, len, surface) =>
+          Embed.top1(surface, index, minScore).map { case (id, score) =>
+            (pos, len, id, score)
+          }
+      }
+      val open = toks.indices.collect {
+        case i if re.matches(toks(i)) && !gazToks.contains(toks(i)) =>
+          (i, 1, "open:" + toks(i), 1.0)
+      }
+      val linked = (closed ++ open).sortBy(_._1)
+      linked.sliding(2).flatMap {
+        case Seq((pos1, len1, id1, s1), (pos2, _, id2, s2)) =>
+          val gap = toks.slice(pos1 + len1, pos2)
+          gap.find(predicates.contains).map { predTok =>
+            Triple(t.conv_id, t.turn_idx, id1, predicates(predTok), id2,
+              math.min(s1, s2))
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** The open-entity surfaces the shape heuristic detects in `turns`
+    * (distinct, sorted) — feeds [[openCanonicalMap]].
+    */
+  def openSurfaces(
+      turns: Seq[Turn],
+      gazetteer: Set[String] = Vocab.gazetteer.toSet,
+      shapePattern: String = graft.mention.MentionDetect.OpenShapePattern)
+      : Seq[String] = {
+    val gazToks = gazetteer.flatMap(_.split(" "))
+    val re = shapePattern.r
+    turns.flatMap(t => tokenize(t.text)
+        .filter(tok => re.matches(tok) && !gazToks.contains(tok)))
+      .distinct.sorted
+  }
+
+  /** Extended canonicalization oracle: the closed entities plus one
+    * single-surface provisional entity per open name, through the same
+    * exact-jaccard union-find.
+    */
+  def openCanonicalMap(
+      entities: Seq[Entity],
+      openNames: Seq[String],
+      jaccardThreshold: Double = 0.5): Map[String, String] =
+    canonicalMap(
+      entities ++ openNames.map(s => Entity("open:" + s, s, Nil)),
+      jaccardThreshold)
+
   /** Canonical relabeling oracle: exact-Jaccard graph over shingle sets,
     * transitive closure, min-id representative — the sequential
     * restatement of graft.canon.Canonicalize.

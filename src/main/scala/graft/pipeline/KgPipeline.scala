@@ -10,7 +10,7 @@ import graft.mention.MentionDetect
 import graft.schema._
 import graft.triple.TripleExtract
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{avg, col, count, lit, min}
+import org.apache.spark.sql.functions.{array, avg, col, concat, count, lit, min}
 
 /** End-to-end KG construction (SURVEY.md §7.2, north rule):
   *
@@ -246,6 +246,77 @@ object KgPipeline {
           row.schema.fieldNames.zip(row.toSeq).toMap
         case _ => Map.empty
       })
+  }
+
+  final case class OpenResult(
+      triples: Dataset[Triple],
+      canonicalMap: DataFrame,
+      /** distinct provisional (open) entity ids detected in the corpus */
+      openEntities: DataFrame)
+
+  /** OPEN-entity-set pipeline variant (the untrodden scale path of
+    * VERDICT r3: corpus-DERIVED entity tables): gazetteer mentions are
+    * detected and linked as in [[run]], and additionally every token
+    * matching `shapePattern` (service/resource-style names outside the
+    * gazetteer) becomes a PROVISIONAL entity `open:<surface>` with link
+    * score 1.0. The provisional entity table — whose size is
+    * corpus-dependent and therefore can never be a driver Seq — joins
+    * the closed entities in ONE (entity_id, surfaces) DataFrame routed
+    * through the DataFrame-native Canonicalize.canonicalMapDf, so
+    * near-identical spellings of the same open name (and open/closed
+    * coreferences) merge by the same exact-jaccard semantics.
+    *
+    * Composed entirely from the standalone library operators
+    * (MentionDetect.mentions/openMentions, EntityLink.link,
+    * TripleExtract.triples, Materialize.relabel); P/R-gated against
+    * ReferenceOracle.openTriples in KgPipelineSpec.
+    *
+    * Scale note: relabel broadcasts the canonical map — right while
+    * the DISTINCT open-name count stays broadcastable (distinct
+    * service/resource names ≪ corpus rows in practice); a truly
+    * unbounded open vocabulary would drop the broadcast hint there and
+    * let the relabel be a shuffle join on entity_id.
+    */
+  def runOpen(
+      spark: SparkSession,
+      turns: DataFrame,
+      entities: Seq[Entity] = Vocab.entities,
+      minLinkScore: Double = Vocab.minLinkScore,
+      predicates: Map[String, String] = Vocab.predicates,
+      shufflePartitions: Int = 32,
+      jaccardThreshold: Double = 0.5,
+      shapePattern: String = MentionDetect.OpenShapePattern): OpenResult = {
+    import spark.implicits._
+    val gaz = entities.flatMap(e => e.canonical +: e.aliases)
+      .map(_.toLowerCase).distinct.sorted
+      .filter(_.split(" ").length <= 2)
+    val turnsP = turns.repartition(shufflePartitions,
+      turns("conv_id"), turns("turn_idx"))
+
+    val closed = EntityLink.link(spark,
+      MentionDetect.mentions(spark, turnsP, gaz), entities, minLinkScore)
+    val open = MentionDetect.openMentions(spark, turnsP, gaz, shapePattern)
+      .toDF().localCheckpoint() // reused: linked union + entity table
+    val linkedOpen = open.select($"conv_id", $"turn_idx", $"token_pos",
+        $"token_len", $"surface",
+        concat(lit("open:"), $"surface").as("entity_id"),
+        lit(1.0).as("score"))
+      .as[LinkedMention]
+    val rawTriples = TripleExtract.triples(spark, turnsP,
+      closed.unionByName(linkedOpen), predicates, shufflePartitions)
+
+    val closedSurf = entities
+      .map(e => (e.entity_id, e.canonical +: e.aliases))
+      .toDF("entity_id", "surfaces")
+    val openSurf = open.select($"surface").distinct()
+      .select(concat(lit("open:"), $"surface").as("entity_id"),
+        array($"surface").as("surfaces"))
+    val canonMap = Canonicalize.canonicalMapDf(spark,
+      closedSurf.unionByName(openSurf), jaccardThreshold)
+    OpenResult(
+      Materialize.relabel(spark, rawTriples, canonMap),
+      canonMap,
+      openSurf.select($"entity_id"))
   }
 
   /** Materialize the graph into snapshot-committed node/edge tables.

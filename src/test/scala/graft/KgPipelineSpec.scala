@@ -171,6 +171,44 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(viaDf == default)
   }
 
+  test("open-entity pipeline: provisional entities (shape-detected, " +
+    "DataFrame-canonicalized) match the extended oracle at P/R >= 0.95, " +
+    "with real open-open merges and open-closed triples") {
+    import spark.implicits._
+    val openTurns = TranscriptGen.openTranscripts(spark, nConvs = 150,
+      turnsPerConv = 8, nBases = 6, partitions = 4)
+    val allTurns = turns.toDF().unionByName(openTurns.toDF())
+    val result = KgPipeline.runOpen(spark, allTurns, shufflePartitions = 4)
+    val got = result.triples.collect().toSeq
+
+    val collectedAll = allTurns
+      .orderBy($"conv_id", $"turn_idx").as[Turn].collect().toSeq
+    val names = ReferenceOracle.openSurfaces(collectedAll)
+    val canon = ReferenceOracle.openCanonicalMap(Vocab.entities, names)
+    val expected = ReferenceOracle.openTriples(collectedAll).map(t =>
+      t.copy(subj = canon.getOrElse(t.subj, t.subj),
+        obj = canon.getOrElse(t.obj, t.obj)))
+    val (p, r) = ReferenceOracle.precisionRecall(got, expected)
+    withClue(s"precision=$p recall=$r got=${got.size} exp=${expected.size}: ") {
+      assert(p >= 0.95 && r >= 0.95)
+    }
+    // the fixture must exercise the open paths for the gate to mean
+    // anything: spelling variants of one base MERGED (the canonical map
+    // sends the longer variant to the shorter), and at least one triple
+    // connects an open entity to a closed one
+    val (v1, v2) = TranscriptGen.openVariants(0)
+    val gotCanon = result.canonicalMap.collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(gotCanon(s"open:$v2") == s"open:$v1",
+      s"open variants did not merge: ${gotCanon.filter(_._1.contains(v1))}")
+    assert(got.exists(t => t.subj.startsWith("open:") !=
+      t.obj.startsWith("open:")), "no open-closed triple in fixture")
+    assert(got.exists(t => t.subj.startsWith("open:")), "no open subj")
+    // the canonical map agrees with the oracle's extended map wherever
+    // both define an id
+    assert(gotCanon == canon)
+  }
+
   test("opt-in LSH banding edges are a subset of the exact edges, and " +
     "forced salting preserves the LSH pair set") {
     import spark.implicits._
