@@ -310,13 +310,16 @@ object Bench {
       turnsPath, warmupPath, rounds = 4)
 
     // ---- skew pair: identical protocol on the hot-conversation corpus.
-    // 3 rounds (6 shots per level): this pair runs LAST (~40 min in) and
-    // with only 4 shots per level one busy-host stretch swallowed a
-    // whole level's minimum (builder runs read 0.924/0.840/0.686 as the
-    // host load ramped — the 0.686 had no quiet 8-core window)
+    // 4 rounds (8 shots per level), same as the main pair: this pair
+    // runs LAST (~30-40 min in) where evening host load ramps, and the
+    // min-per-level estimator is ONE-SIDED — a quiet window at the LO
+    // level with none at HI under-reads efficiency (r3 builder runs
+    // read 0.924/0.840/0.686 under 4-shots-per-level; 3 rounds then
+    // read 0.881 but an r4 run still drew 0.766 — two more shots per
+    // level buy the HI level its quiet window for ~4 min of wall)
     val skewJson = if (skewHot > 0) {
       val (sk8, sk2, skTriples) = scalingPair(scaleHi, scaleLo, scaleParts,
-        skewPath, warmupPath, rounds = 3)
+        skewPath, warmupPath, rounds = 4)
       val skEff = (skTriples / sk8) / (skTriples / sk2) /
         (scaleHi.toDouble / scaleLo)
       s""","skew":{"hot_turns":$skewHot,"triples":$skTriples,""" +
