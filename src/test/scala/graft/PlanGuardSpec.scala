@@ -78,6 +78,27 @@ class PlanGuardSpec extends AnyFunSuite {
       s"plan regressions:\n  ${failures.mkString("\n  ")}")
   }
 
+  test("the KG pipeline plans (closed fast/staged, open variant) pass " +
+    "the same guard") {
+    val turns = graft.gen.TranscriptGen
+      .transcripts(spark, nConvs = 30, turnsPerConv = 8, hotTurns = 40,
+        partitions = 2).toDF()
+    val openTurns = graft.gen.TranscriptGen
+      .openTranscripts(spark, nConvs = 30, turnsPerConv = 8, nBases = 4,
+        partitions = 2).toDF()
+    val failures =
+      audit("kg_fast", graft.pipeline.KgPipeline
+        .run(spark, turns, shufflePartitions = 2).triples.toDF()) ++
+        audit("kg_staged", graft.pipeline.KgPipeline
+          .run(spark, turns, shufflePartitions = 2,
+            gazetteerFastPathMax = 0).triples.toDF()) ++
+        audit("kg_open", graft.pipeline.KgPipeline
+          .runOpen(spark, turns.unionByName(openTurns),
+            shufflePartitions = 2).triples.toDF())
+    assert(failures.isEmpty,
+      s"pipeline plan regressions:\n  ${failures.mkString("\n  ")}")
+  }
+
   test("the detector itself flags deliberately bad plans (no silent " +
     "empty-match rot)") {
     import org.apache.spark.sql.expressions.Window
