@@ -65,6 +65,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairStats: verified count == jaccardPairs row count, " +
+    "candidates >= verified, and candidates shrink as t rises") {
+    val df = corpus()
+    val stats = Seq(0.1, 0.5).map(t =>
+      t -> Dedup.jaccardPairStats(df, "doc_id", "text", t))
+    stats.foreach { case (t, (cand, verified)) =>
+      val pairs = Dedup.jaccardPairs(df, "doc_id", "text", t).count()
+      assert(verified == pairs, s"t=$t")
+      assert(cand >= verified, s"t=$t")
+    }
+    // the in-join filters must actually prune harder at the higher
+    // threshold (the selectivity claim the bench counts evidence)
+    assert(stats(1)._2._1 < stats(0)._2._1,
+      s"candidates did not shrink: $stats")
+  }
+
   test("jaccardPairs prefix filter survives an exact-integer t*n " +
     "boundary (FP-epsilon guard)") {
     import spark.implicits._
