@@ -370,7 +370,15 @@ object Bench {
     val qJson = queryTimes
       .map { case (k, v, _) => s""""$k":${if (v >= 0) f"$v%.3f" else "-1"}""" }
       .mkString("{", ",", "}")
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // JSON string escape incl. control chars (< 0x20): an exception
+    // message carrying a tab or stray \r must not break the artifact's
+    // JSON exactly when a real failure is being reported
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qErrors = queryTimes.collect { case (k, _, e) if e != null =>
       s""""$k"""" }.mkString("[", ",", "]")
     val qErrorMsgs = queryTimes.collect { case (k, _, e) if e != null =>

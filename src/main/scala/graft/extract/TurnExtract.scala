@@ -88,7 +88,14 @@ object TurnExtract {
       allSpans: Seq[Span],
       scorer: EntityLink.Scorer,
       preds: Map[String, String],
-      rec: Recorder): Iterator[Triple] = {
+      rec: Recorder,
+      // already-linked OPEN provisional mentions (token_pos, token_len,
+      // entity_id, score) — merged with the scored gazetteer mentions
+      // by token position (positions are disjoint: the open shape
+      // requires digits, gazetteer surfaces are all-letter, mirroring
+      // ReferenceOracle.openTriples' independent scans)
+      openLinked: Seq[(Int, Int, String, Double)] = Nil)
+      : Iterator[Triple] = {
     rec.turns += 1
     val spans = allSpans.sortBy(s => (s.token_pos, s.token_len))
     // bigram-wins overlap resolution (mirrors ReferenceOracle)
@@ -99,11 +106,14 @@ object TurnExtract {
       (s.token_len == 2 || !covered.contains(s.token_pos)))
     val predSpans = spans.filter(!_.is_mention)
 
-    val linked = mentions.flatMap { m =>
+    val closedLinked = mentions.flatMap { m =>
       scorer.link(m.surface).map { case (id, score) =>
         (m.token_pos, m.token_len, id, score)
       }
     }
+    val linked =
+      if (openLinked.isEmpty) closedLinked
+      else (closedLinked ++ openLinked).sortBy(_._1)
     rec.mentions += linked.size
     linked.sliding(2).flatMap {
       case Seq((pos1, len1, id1, s1), (pos2, _, id2, s2)) =>
@@ -154,6 +164,14 @@ object TurnExtract {
     * raw turns — no aggregation state, so it runs unchanged on a
     * streaming Dataset in append mode. Uses the shared plain-Scala
     * tokenizer spec (graft.text.TextOps.tokenizeString).
+    *
+    * `openShapePattern` (the OPEN fused fast path, KgPipeline.runOpen):
+    * when set, every token matching the pattern that is not a token of
+    * any gazetteer surface additionally becomes a pre-linked
+    * provisional mention `open:<token>` with score 1.0 — shape
+    * detection and open linking fold into the SAME pooled pass instead
+    * of composing three more shuffling operators (the per-triple cost
+    * that made the r4 kg_open datapoint ~6x the closed fast path).
     */
   def timedTriplesFromTurns(
       spark: SparkSession,
@@ -163,7 +181,8 @@ object TurnExtract {
       minScore: Double,
       predicates: Map[String, String],
       metrics: Option[org.apache.spark.util.CollectionAccumulator[PartitionMetrics]] = None,
-      prebuiltIndex: Option[IndexedSeq[(String, Array[Float])]] = None)
+      prebuiltIndex: Option[IndexedSeq[(String, Array[Float])]] = None,
+      openShapePattern: Option[String] = None)
       : Dataset[TimedTriple] = {
     import spark.implicits._
     val bcIndex = spark.sparkContext.broadcast(
@@ -173,15 +192,27 @@ object TurnExtract {
       gazetteer.filterNot(_.contains(' ')).toSet)
     val bcGazBi = spark.sparkContext.broadcast(
       gazetteer.filter(_.contains(' ')).toSet)
+    // oracle contract (ReferenceOracle.openTriples): a shape-matching
+    // token that is a token of ANY gazetteer surface is never open
+    val bcGazToks = spark.sparkContext.broadcast(
+      gazetteer.flatMap(_.split(" ")).toSet)
+    val openPattern = openShapePattern.orNull
 
     turns.mapPartitions { it =>
       val scorer = new EntityLink.Scorer(bcIndex.value, minScore)
       val preds = bcPreds.value
       val (gazUni, gazBi) = (bcGazUni.value, bcGazBi.value)
+      val gazToks = bcGazToks.value
+      // compiled once per partition (a per-row Pattern compile is the
+      // exact trap TextOps documents for split)
+      val openRe =
+        if (openPattern == null) null
+        else java.util.regex.Pattern.compile(openPattern)
       val rec = new Recorder(metrics)
       it.flatMap { t =>
         val toks = graft.text.TextOps.tokenizeString(t.text)
         val spans = Seq.newBuilder[Span]
+        val open = Seq.newBuilder[(Int, Int, String, Double)]
         var i = 0
         while (i < toks.length) {
           if (gazUni.contains(toks(i)))
@@ -193,9 +224,13 @@ object TurnExtract {
             if (gazBi.contains(bg))
               spans += Span(i, 2, bg, is_mention = true)
           }
+          if (openRe != null && openRe.matcher(toks(i)).matches() &&
+              !gazToks.contains(toks(i)))
+            open += ((i, 1, "open:" + toks(i), 1.0))
           i += 1
         }
-        extract(t.conv_id, t.turn_idx, spans.result(), scorer, preds, rec)
+        extract(t.conv_id, t.turn_idx, spans.result(), scorer, preds, rec,
+            open.result())
           .map(tr => TimedTriple(tr.conv_id, tr.turn_idx, tr.subj, tr.pred,
             tr.obj, tr.score, t.ts))
       } ++ rec.sentinel

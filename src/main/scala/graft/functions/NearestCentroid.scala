@@ -28,11 +28,24 @@ import org.apache.spark.sql.types._
   *   - tiebreak: strict `<` keeps the smallest cluster id on equal
   *     rounded distance == struct-ordering array_min with id field.
   *
-  * CONTRACT: input array<double> with no NULL elements and length ==
-  * centroid dim (KMeansCluster.checkedDim raise_errors both upstream).
+  * Input contract — ENFORCED here, not just documented (the standalone
+  * `nearest_centroid` Column API has no upstream checkedDim/quant):
+  * array<double>, length == centroid dim, no NULL elements. A
+  * violation throws (UnsafeArrayData.getDouble does not bounds-check —
+  * an unguarded short array would read out-of-bounds memory and return
+  * silently wrong assignments). NaN/Infinity DISTANCES follow the
+  * literal path exactly: Spark's round(double, 6) passes non-finite
+  * values through unchanged (BigDecimal.valueOf would throw on NaN),
+  * and the argmin uses Spark's NaN-greatest total order (the struct
+  * array_min ordering), so behavior cannot flip at the
+  * LiteralArgminMaxCells dispatch cutoff.
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid: empty centroid set")
+  require(centroids.forall(_.length == centroids(0).length),
+    "nearest_centroid: ragged centroid matrix")
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
@@ -54,17 +67,32 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val dim = centroids(0).length
     nullSafeCodeGen(ctx, ev, a => {
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       val c = ctx.freshName("c")
       val r = ctx.freshName("r")
       val best = ctx.freshName("best")
       val bestJ = ctx.freshName("bestJ")
+      // contract guard: one bounded pre-pass (bit-tests), negligible
+      // next to the k*d distance loop
       s"""
-         |double $best = Double.POSITIVE_INFINITY; int $bestJ = 0;
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: input length " + $a.numElements() +
+         |    ", expected $dim");
+         |}
+         |for (int $v = 0; $v < $dim; $v++) {
+         |  if ($a.isNullAt($v)) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroid: input contains a NULL element at " + $v);
+         |  }
+         |}
+         |double $best = Double.NaN; int $bestJ = 0;
          |for (int $j = 0; $j < $cs.length; $j++) {
          |  double[] $c = $cs[$j];
          |  double $s = 0.0;
@@ -72,9 +100,14 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
          |    double $d = $a.getDouble($i) - $c[$i];
          |    $s += $d * $d;
          |  }
-         |  double $r = java.math.BigDecimal.valueOf($s)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
-         |  if ($r < $best) { $best = $r; $bestJ = $j; }
+         |  double $r = (Double.isNaN($s) || Double.isInfinite($s))
+         |    ? $s
+         |    : java.math.BigDecimal.valueOf($s)
+         |        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  boolean ${s}_less = Double.isNaN($best)
+         |    ? !Double.isNaN($r)
+         |    : (!Double.isNaN($r) && $r < $best);
+         |  if (${s}_less) { $best = $r; $bestJ = $j; }
          |}
          |${ev.value} = $bestJ;
        """.stripMargin
@@ -87,11 +120,22 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
 object NearestCentroid {
 
-  /** Interpreted twin of the generated loop (same op order, rounding,
-    * tiebreak).
+  /** Interpreted twin of the generated loop (same guards, op order,
+    * non-finite rounding pass-through, NaN-greatest tiebreak).
     */
   def argmin(a: ArrayData, cs: Array[Array[Double]]): Int = {
-    var best = Double.PositiveInfinity
+    val dim = cs(0).length
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: input length ${a.numElements()}, expected $dim")
+    var v = 0
+    while (v < dim) {
+      if (a.isNullAt(v))
+        throw new IllegalArgumentException(
+          s"nearest_centroid: input contains a NULL element at $v")
+      v += 1
+    }
+    var best = Double.NaN
     var bestJ = 0
     var j = 0
     while (j < cs.length) {
@@ -103,16 +147,22 @@ object NearestCentroid {
         s += d * d
         i += 1
       }
-      val r = java.math.BigDecimal.valueOf(s)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (r < best) { best = r; bestJ = j }
+      val r =
+        if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
+        else java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val less =
+        if (java.lang.Double.isNaN(best)) !java.lang.Double.isNaN(r)
+        else !java.lang.Double.isNaN(r) && r < best
+      if (less) { best = r; bestJ = j }
       j += 1
     }
     bestJ
   }
 
   /** Column-API form; `vec` must be array<double>, non-null elements,
-    * length == centroid dim.
+    * length == centroid dim — violations throw per row (enforced in
+    * both codegen and interpreted evaluation, not just documented).
     */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

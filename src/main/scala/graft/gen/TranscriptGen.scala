@@ -142,4 +142,68 @@ object TranscriptGen {
       .repartition(partitions, hash($"text", $"turn_idx"))
       .as[Turn]
   }
+
+  /** WIDE open-vocabulary transcripts: like [[openTranscripts]] but the
+    * provisional surface pool is COLUMNAR — base index
+    * b = hash % nBases picks stem `OpenStems(b % 8)` + zero-padded
+    * digits of b, with the second spelling variant (`...9` suffix,
+    * shingle-jaccard ~0.8 to the first) chosen by a second hash — so
+    * `nBases` can be tens of thousands without a driver-side literal
+    * pool. This is the generator for the DISTRIBUTED canonicalization
+    * regime (> Canonicalize.LocalCanonMaxEntities distinct open
+    * surfaces): the r4 bench's 16-name pool could never leave the
+    * driver-local branch. Bases sharing a stem with near-equal digit
+    * suffixes can ALSO merge (their exact jaccard crosses 0.5) — the
+    * oracle computes the same exact jaccard, so parity holds, and the
+    * resulting multi-hop merge chains exercise the pointer-jumping CC.
+    * Roughly 1 in 8 subject/object slots is a closed unigram so
+    * open-closed triples still occur.
+    */
+  def openTranscriptsWide(
+      spark: SparkSession,
+      nConvs: Int,
+      turnsPerConv: Int,
+      nBases: Int,
+      partitions: Int = 8): Dataset[Turn] = {
+    import spark.implicits._
+    require(nBases >= 1 && nBases <= 99999,
+      s"nBases must be in [1, 99999] (5-digit suffix), got $nBases")
+    val closedPool = IndexedSeq("kafka", "redis", "postgres", "airflow")
+
+    val ids = spark.range(nConvs.toLong * turnsPerConv)
+      .withColumn("conv_id",
+        format_string("conv_openw_%06d", ($"id" / turnsPerConv).cast("long")))
+      .withColumn("turn_idx", ($"id" % turnsPerConv).cast("int"))
+
+    def surface(salt: Int): Column = {
+      val b = pmod(hash($"conv_id", $"turn_idx", lit(salt)), lit(nBases))
+      val v1 = format_string("%s%05d",
+        element_at(lit(OpenStems.toArray), pmod(b, lit(OpenStems.size)) + 1),
+        b)
+      val open = when(
+        pmod(hash($"conv_id", $"turn_idx", lit(salt + 100)), lit(2)) === 0,
+        v1).otherwise(concat(v1, lit("9")))
+      when(pmod(hash($"conv_id", $"turn_idx", lit(salt + 200)), lit(8)) === 0,
+        pick(closedPool, salt + 300)).otherwise(open)
+    }
+
+    val t = pmod(hash($"conv_id", $"turn_idx", lit(40)), lit(10))
+    val subj = surface(41)
+    val obj = surface(42)
+    val pred = pick(Vocab.predicateTokens, 43)
+    val fillA = pick(Vocab.fillers, 44)
+    val fillB = pick(Vocab.fillers, 45)
+    val text =
+      when(t < 6, concat_ws(" ", fillA, subj, pred, obj, fillB))
+        .when(t < 8, concat_ws(" ", fillA, subj, fillB))
+        .otherwise(concat_ws(" ", fillA, fillB))
+    val role = pick(Vocab.roles, 46)
+    val tool = when(role === "tool", pick(Vocab.tools, 47)).otherwise(lit(""))
+    val ts = expr(
+      "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,turn_idx,0)")
+    ids.select($"conv_id", $"turn_idx", role.as("role"), text.as("text"),
+        tool.as("tool"), ts.as("ts"))
+      .repartition(partitions, hash($"text", $"turn_idx"))
+      .as[Turn]
+  }
 }

@@ -7,26 +7,53 @@ import org.apache.spark.sql.functions._
 /** Graph materialization into node/edge tables (SURVEY.md §7.1 `graph/`).
   *
   * Triples are relabeled through the canonicalization map with two
-  * broadcast joins (the map is entity-cardinality — small by definition),
-  * then edges aggregate support counts and nodes collect surface forms.
+  * broadcast joins while the map stays executor-memory-sized, falling
+  * back to plain shuffle joins past a size knob (an OPEN corpus-derived
+  * vocabulary is unbounded — the broadcast must not be); edges
+  * aggregate support counts and nodes collect surface forms.
   * `sort_array(collect_set(...))` keeps outputs order-deterministic under
   * any parallelism.
   */
 object Materialize {
 
-  /** Relabel subj/obj through (entity_id -> canonical_id). */
+  /** Broadcast cutoff for [[relabel]]'s canonical-map side: up to this
+    * many map entries the two relabel joins carry an explicit broadcast
+    * hint (a 10M-entry string pair map is ~hundreds of MB — the upper
+    * edge of a comfortable executor broadcast); above it the hint is
+    * dropped and the relabel is a shuffle equi-join on entity id, which
+    * holds for any vocabulary size. Probed with one bounded
+    * `limit(knob + 1).count()` job (short-circuiting; callers on the
+    * scale path hand in an already-cut map, so the probe is a cheap
+    * re-read, not a recompute).
+    */
+  val RelabelBroadcastMaxEntities = 10000000L
+
+  /** Relabel subj/obj through (entity_id -> canonical_id).
+    * `maxBroadcastEntities = 0` forces the shuffle path (spec hook and
+    * explicit opt-out); results are identical on both paths
+    * (KgPipelineSpec pins them).
+    */
   def relabel(
       spark: SparkSession,
       triples: Dataset[Triple],
-      canonicalMap: DataFrame): Dataset[Triple] = {
+      canonicalMap: DataFrame,
+      maxBroadcastEntities: Long = RelabelBroadcastMaxEntities)
+      : Dataset[Triple] = {
     import spark.implicits._
+    val useBroadcast = maxBroadcastEntities > 0 &&
+      canonicalMap
+        .limit((math.min(maxBroadcastEntities, Int.MaxValue.toLong - 1) + 1)
+          .toInt)
+        .count() <= maxBroadcastEntities
+    def hinted(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     val subjMap = canonicalMap.select(
       col("entity_id").as("subj"), col("canonical_id").as("subj_canon"))
     val objMap = canonicalMap.select(
       col("entity_id").as("obj"), col("canonical_id").as("obj_canon"))
     triples.toDF()
-      .join(broadcast(subjMap), Seq("subj"), "left")
-      .join(broadcast(objMap), Seq("obj"), "left")
+      .join(hinted(subjMap), Seq("subj"), "left")
+      .join(hinted(objMap), Seq("obj"), "left")
       .select(
         $"conv_id", $"turn_idx",
         coalesce($"subj_canon", $"subj").as("subj"),

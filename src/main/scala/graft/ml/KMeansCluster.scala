@@ -44,16 +44,21 @@ object KMeansCluster {
   private val SumDec = DecimalType(28, 10)
 
   /** quantized double vector column (the operator's working precision).
-    * A NULL ELEMENT inside a vector fails fast here — it would
-    * otherwise NULL every centroid distance (struct ordering then
+    * A NULL or NaN ELEMENT inside a vector fails fast here — NULL
+    * would otherwise NULL every centroid distance (struct ordering then
     * silently assigns the row to cluster 0) while its non-null dims
-    * still dilute the decimal mean; placing the check in quant covers
-    * every consumer (init collection, assignment, update) once.
+    * still dilute the decimal mean; NaN poisons every distance to NaN
+    * (assignment then degenerates to the id tiebreak) AND would crash
+    * the decimal centroid mean's cast. Placing the check in quant
+    * covers every consumer (init collection, assignment, update) once.
     */
   private def quant(vec: Column): Column = {
     val q = transform(vec.cast("array<double>"), x => round(x, 6))
     when(exists(q, _.isNull), raise_error(
-      lit("k-means: embedding contains a NULL element"))).otherwise(q)
+      lit("k-means: embedding contains a NULL element")))
+      .when(exists(q, isnan(_)), raise_error(
+        lit("k-means: embedding contains a NaN element")))
+      .otherwise(q)
   }
 
   /** fail fast on ragged embeddings (same contract as DimReduce): a

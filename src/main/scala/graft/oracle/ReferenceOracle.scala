@@ -147,9 +147,10 @@ object ReferenceOracle {
       jaccardThreshold: Double = 0.5): Map[String, String] = {
     def shingles(e: Entity): Set[String] =
       (e.canonical +: e.aliases).flatMap { s =>
-        // same '#'-padded EXACTLY-3-char grams as TextOps.charShingles
-        // (the length filter drops the "##" shingle of empty surfaces)
-        Embed.ngrams(s).filter(_.length == 3)
+        // same '#'-padded EXACTLY-3-CODEPOINT grams as
+        // TextOps.charShingles (the filter drops the "##" gram of empty
+        // surfaces)
+        Embed.ngrams(s).filter(Embed.isShingle3)
       }.toSet
     val sh = entities.map(e => e.entity_id -> shingles(e)).toMap
     val ids = entities.map(_.entity_id)

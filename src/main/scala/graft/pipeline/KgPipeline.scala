@@ -252,7 +252,12 @@ object KgPipeline {
       triples: Dataset[Triple],
       canonicalMap: DataFrame,
       /** distinct provisional (open) entity ids detected in the corpus */
-      openEntities: DataFrame)
+      openEntities: DataFrame,
+      /** which Canonicalize.canonicalMapDfTracked branch ran — "local",
+        * "distributed-edge-local-uf", or "distributed-cc"; bench/ops
+        * evidence that a run exercised the intended scale path
+        */
+      canonPath: String)
 
   /** OPEN-entity-set pipeline variant (the untrodden scale path of
     * VERDICT r3: corpus-DERIVED entity tables): gazetteer mentions are
@@ -262,20 +267,26 @@ object KgPipeline {
     * score 1.0. The provisional entity table — whose size is
     * corpus-dependent and therefore can never be a driver Seq — joins
     * the closed entities in ONE (entity_id, surfaces) DataFrame routed
-    * through the DataFrame-native Canonicalize.canonicalMapDf, so
+    * through the DataFrame-native Canonicalize.canonicalMapDfTracked, so
     * near-identical spellings of the same open name (and open/closed
     * coreferences) merge by the same exact-jaccard semantics.
     *
-    * Composed entirely from the standalone library operators
+    * Physical dispatch mirrors [[run]]: while the gazetteer fits a
+    * per-executor Set (`gazetteerFastPathMax`), the whole extraction —
+    * gazetteer spans, shape detection, open linking, pairing — runs in
+    * ONE pooled shuffle-free mapPartitions pass
+    * (TurnExtract.timedTriplesFromTurns with openShapePattern), closing
+    * r4's ~6x per-triple gap vs the closed fast path. Above the knob
+    * it composes the standalone library operators
     * (MentionDetect.mentions/openMentions, EntityLink.link,
-    * TripleExtract.triples, Materialize.relabel); P/R-gated against
-    * ReferenceOracle.openTriples in KgPipelineSpec.
+    * TripleExtract.triples); both paths are pinned equal in
+    * KgPipelineSpec and P/R-gated against ReferenceOracle.openTriples.
     *
-    * Scale note: relabel broadcasts the canonical map — right while
-    * the DISTINCT open-name count stays broadcastable (distinct
-    * service/resource names ≪ corpus rows in practice); a truly
-    * unbounded open vocabulary would drop the broadcast hint there and
-    * let the relabel be a shuffle join on entity_id.
+    * Scale contracts (closed r4): iterative/reused frames cut via the
+    * pluggable `cut` (a cluster run passes LineageCut.Reliable);
+    * relabel falls back from broadcast to shuffle joins past
+    * `relabelBroadcastMax` map entries (an unbounded open vocabulary
+    * must not be broadcast).
     */
   def runOpen(
       spark: SparkSession,
@@ -285,7 +296,11 @@ object KgPipeline {
       predicates: Map[String, String] = Vocab.predicates,
       shufflePartitions: Int = 32,
       jaccardThreshold: Double = 0.5,
-      shapePattern: String = MentionDetect.OpenShapePattern): OpenResult = {
+      shapePattern: String = MentionDetect.OpenShapePattern,
+      gazetteerFastPathMax: Int = GazetteerFastPathMax,
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default,
+      relabelBroadcastMax: Long = Materialize.RelabelBroadcastMaxEntities)
+      : OpenResult = {
     import spark.implicits._
     val gaz = entities.flatMap(e => e.canonical +: e.aliases)
       .map(_.toLowerCase).distinct.sorted
@@ -293,30 +308,54 @@ object KgPipeline {
     val turnsP = turns.repartition(shufflePartitions,
       turns("conv_id"), turns("turn_idx"))
 
-    val closed = EntityLink.link(spark,
-      MentionDetect.mentions(spark, turnsP, gaz), entities, minLinkScore)
-    val open = MentionDetect.openMentions(spark, turnsP, gaz, shapePattern)
-      .toDF().localCheckpoint() // reused: linked union + entity table
-    val linkedOpen = open.select($"conv_id", $"turn_idx", $"token_pos",
-        $"token_len", $"surface",
-        concat(lit("open:"), $"surface").as("entity_id"),
-        lit(1.0).as("score"))
-      .as[LinkedMention]
-    val rawTriples = TripleExtract.triples(spark, turnsP,
-      closed.unionByName(linkedOpen), predicates, shufflePartitions)
+    val (rawTriples, openSurfSrc) =
+      if (gaz.size <= gazetteerFastPathMax) {
+        // fused fast path: detection + open linking + pairing in one
+        // pooled pass; the entity table still needs the distinct open
+        // surfaces — a Catalyst-only scan (tokenize -> explode -> rlike
+        // -> anti-join -> distinct), no scorer, no span grouping
+        val t = TurnExtract.timedTriplesFromTurns(spark, turnsP.as[Turn],
+            gaz, entities, minLinkScore, predicates,
+            openShapePattern = Some(shapePattern))
+          .drop("ts").as[Triple]
+        val surf = MentionDetect.openMentions(spark, turnsP, gaz,
+          shapePattern).toDF().select($"surface").distinct()
+        (t, surf)
+      } else {
+        // staged scale path: composed standalone operators (a 1e8-surface
+        // gazetteer forces the join-based mention detection)
+        val closed = EntityLink.link(spark,
+          MentionDetect.mentions(spark, turnsP, gaz), entities, minLinkScore)
+        val open = cut.cut(MentionDetect
+          .openMentions(spark, turnsP, gaz, shapePattern)
+          .toDF()) // reused: linked union + entity table
+        val linkedOpen = open.select($"conv_id", $"turn_idx", $"token_pos",
+            $"token_len", $"surface",
+            concat(lit("open:"), $"surface").as("entity_id"),
+            lit(1.0).as("score"))
+          .as[LinkedMention]
+        (TripleExtract.triples(spark, turnsP,
+          closed.unionByName(linkedOpen), predicates, shufflePartitions),
+          open.select($"surface").distinct())
+      }
 
     val closedSurf = entities
       .map(e => (e.entity_id, e.canonical +: e.aliases))
       .toDF("entity_id", "surfaces")
-    val openSurf = open.select($"surface").distinct()
+    val openSurf = openSurfSrc
       .select(concat(lit("open:"), $"surface").as("entity_id"),
         array($"surface").as("surfaces"))
-    val canonMap = Canonicalize.canonicalMapDf(spark,
-      closedSurf.unionByName(openSurf), jaccardThreshold)
+    val canonRes = Canonicalize.canonicalMapDfTracked(spark,
+      closedSurf.unionByName(openSurf), jaccardThreshold, cut = cut)
+    // the map is consumed twice by relabel (+ once by its size probe);
+    // on the local path it is already an in-memory LocalRelation
+    val canonMap =
+      if (canonRes.path == "local") canonRes.map else cut.cut(canonRes.map)
     OpenResult(
-      Materialize.relabel(spark, rawTriples, canonMap),
+      Materialize.relabel(spark, rawTriples, canonMap, relabelBroadcastMax),
       canonMap,
-      openSurf.select($"entity_id"))
+      openSurf.select($"entity_id"),
+      canonRes.path)
   }
 
   /** Materialize the graph into snapshot-committed node/edge tables.

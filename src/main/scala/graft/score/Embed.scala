@@ -25,18 +25,30 @@ object Embed {
   val Dim = 64
   private val Seed = 42
 
-  /** Character 3-grams of the lowercased surface, '#'-padded.
-    * Locale.ROOT lowercase matches SQL `lower` (a Turkish-style default
-    * JVM locale would otherwise diverge from the distributed
-    * charShingles path on dotted/dotless I). Known caveat: `sliding`
-    * walks UTF-16 units while charShingles substrings codepoints, so
-    * non-BMP surfaces could shingle differently between the two exact
-    * canonicalization paths (none occur in tested vocabularies).
+  /** Character 3-grams of the lowercased surface, '#'-padded, sliding
+    * over CODEPOINTS — exactly the windows TextOps.charShingles's
+    * `substr(i, 3)` takes (Spark substring/length count codepoints, not
+    * UTF-16 units), so the local and distributed canonicalization paths
+    * shingle identically for any surface, including non-BMP (emoji,
+    * astral-plane CJK) — corpus-derived open vocabularies can contain
+    * anything. Locale.ROOT lowercase matches SQL `lower` (a
+    * Turkish-style default JVM locale would otherwise diverge on
+    * dotted/dotless I).
     */
   def ngrams(s: String): Iterator[String] = {
     val t = "#" + s.toLowerCase(java.util.Locale.ROOT) + "#"
-    if (t.length < 3) Iterator.single(t) else t.sliding(3)
+    val cps = t.codePoints().toArray
+    if (cps.length < 3) Iterator.single(t)
+    else (0 to cps.length - 3).iterator.map(i => new String(cps, i, 3))
   }
+
+  /** True iff `g` is exactly 3 CODEPOINTS — the keep-filter both exact
+    * canonicalization paths apply to [[ngrams]] output (matches the
+    * distributed `length(s) === k`, which counts codepoints). The only
+    * sub-3 gram [[ngrams]] can emit is the whole padded string of a
+    * 0/1-codepoint surface.
+    */
+  def isShingle3(g: String): Boolean = g.codePointCount(0, g.length) == 3
 
   /** Hashed-ngram embedding, L2-normalized. */
   def embed(s: String): Array[Float] = {

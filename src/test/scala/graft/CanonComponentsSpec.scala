@@ -1,0 +1,94 @@
+package graft
+
+import graft.canon.Canonicalize
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components convergence contracts (VERDICT r4 tasks #2/#3):
+  *
+  *   - the O(diameter) min-label loop must FAIL LOUDLY when a component's
+  *     diameter exceeds maxIter — a silently partial label set is a
+  *     WRONG canonical map (open corpus-derived vocabularies can chain
+  *     near-duplicate spellings to arbitrary diameter);
+  *   - the pointer-jumping variant must produce the identical map and
+  *     converge in O(log n) rounds on exactly those graphs.
+  */
+class CanonComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def chain(n: Int): (Seq[String], Seq[(String, String)]) = {
+    val ids = (0 until n).map(i => f"c$i%04d")
+    (ids, ids.sliding(2).map(p => (p(0), p(1))).toSeq)
+  }
+
+  private def toDf(ids: Seq[String], edges: Seq[(String, String)]) = {
+    import spark.implicits._
+    (ids.toDF("entity_id"), edges.toDF("src", "dst"))
+  }
+
+  test("min-label CC throws on a chain longer than maxIter instead of " +
+    "returning silently partial labels") {
+    val (ids, es) = chain(12)
+    val (v, e) = toDf(ids, es)
+    val ex = intercept[IllegalStateException] {
+      Canonicalize.connectedComponents(spark, v, e, maxIter = 5)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same graph under a sufficient cap still converges exactly
+    val ok = Canonicalize.connectedComponents(spark, v, e, maxIter = 15)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ok == ids.map(_ -> ids.head).toMap)
+  }
+
+  test("pointer-jumping CC solves a length-64 chain in <= ceil(log2 n) " +
+    "+ 2 rounds, where min-label would need 63") {
+    val (ids, es) = chain(64)
+    val (v, e) = toDf(ids, es)
+    val (labels, rounds) = Canonicalize
+      .connectedComponentsFastWithRounds(spark, v, e)
+    val got = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == ids.map(_ -> ids.head).toMap)
+    val bound = math.ceil(math.log(64) / math.log(2)).toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("pointer-jumping CC == min-label CC == local union-find on " +
+    "seeded random graphs (including isolated vertices)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 10
+      val ids = (0 until n).map(i => f"r$trial%d_$i%03d")
+      val edges = (0 until n).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      val (v, e) = toDf(ids, edges)
+      val expected = Canonicalize.localUnionFind(ids, edges)
+      val fast = Canonicalize.connectedComponentsFast(spark, v, e)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(fast == expected, s"trial $trial: fast != local union-find")
+      val minLabel = Canonicalize.connectedComponents(spark, v, e,
+          maxIter = n)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(minLabel == expected, s"trial $trial: min-label != local")
+    }
+  }
+
+  test("pointer-jumping CC under Reliable lineage cut equals the default") {
+    val (ids, es) = chain(20)
+    val (v, e) = toDf(ids, es)
+    val local = Canonicalize.connectedComponentsFast(spark, v, e)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ccfast_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Canonicalize.connectedComponentsFast(spark, v, e,
+          cut = graft.plans.LineageCut.Reliable)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(reliable == local)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+}

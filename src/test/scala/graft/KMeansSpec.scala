@@ -149,6 +149,66 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.count() == pts.size)
   }
 
+  test("non-finite distances (squared-overflow Infinity, NaN) assign " +
+    "identically on the literal and reference-object paths — behavior " +
+    "must not flip at the dispatch cutoff") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = 4
+    val cents = Array(
+      Array.fill(d)(1e160), Array.fill(d)(0.0), Array.fill(d)(1.0))
+    val pts = Seq(
+      1L -> Array.fill(d)(0.5), // Inf to c0, 1.0 to c1 AND c2 (id tie)
+      2L -> Array.fill(d)(1e160), // 0 to c0, Inf elsewhere
+      3L -> Array.fill(d)(Double.NaN), // NaN everywhere -> id-0 tie
+      4L -> Array(1e160, 0.0, 0.0, 0.0)) // Inf to ALL -> id-0 tie
+    val df = pts.toDF("vec_id", "q").repartition(2)
+    def run(c: org.apache.spark.sql.Column) =
+      df.select(col("vec_id"), c.as("cl")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lit = run(KMeansCluster.assignExprLiteral(col("q"), cents))
+    val loop = run(KMeansCluster.assignExprLoop(col("q"), cents))
+    assert(lit == loop, s"dispatch-cutoff behavior flip: lit=$lit loop=$loop")
+    assert(lit == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
+  test("NaN element inside an embedding fails fast in quant; standalone " +
+    "nearest_centroid enforces length and non-null elements per row") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val dfNan = (1L to 8L).toDF("vec_id")
+      .selectExpr("vec_id",
+        "array(1.0D, CASE WHEN vec_id = 5 THEN CAST('NaN' AS DOUBLE) " +
+          "ELSE 2.0D END) AS embedding")
+    val e = intercept[Exception] {
+      KMeansCluster.assign(dfNan, "vec_id", "embedding", 2, 2).collect()
+    }
+    assert(messages(e).exists(_.contains("NaN element")),
+      s"unexpected error: $e")
+    // nearest_centroid has no upstream quant/checkedDim — it must guard
+    // itself (UnsafeArrayData.getDouble does not bounds-check; an
+    // unguarded short array reads out-of-bounds memory)
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))
+    val short = Seq(Tuple1(Array(1.0, 2.0))).toDF("q")
+    val e2 = intercept[Exception] {
+      short.select(graft.functions.NearestCentroid
+        .nearest_centroid(col("q"), cents)).collect()
+    }
+    assert(messages(e2).exists(_.contains("input length")),
+      s"unexpected error: $e2")
+    val withNull = spark.range(1)
+      .selectExpr("array(1.0D, NULL, 2.0D) AS q")
+    val e3 = intercept[Exception] {
+      withNull.select(graft.functions.NearestCentroid
+        .nearest_centroid(col("q"), cents)).collect()
+    }
+    assert(messages(e3).exists(_.contains("NULL element")),
+      s"unexpected error: $e3")
+  }
+
   test("fit at iters=0 returns the seeded init (hash-ranked ids), " +
     "reproducibly") {
     val df = blobs(2)

@@ -209,6 +209,79 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(gotCanon == canon)
   }
 
+  test("fused open fast path == composed operator chain in runOpen(), " +
+    "and the relabel shuffle fallback (knob = 0) is identical and " +
+    "hint-free") {
+    import spark.implicits._
+    val openTurns = TranscriptGen.openTranscripts(spark, nConvs = 150,
+      turnsPerConv = 8, nBases = 6, partitions = 4)
+    val allTurns = turns.toDF().unionByName(openTurns.toDF())
+    def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
+    val fused = KgPipeline.runOpen(spark, allTurns, shufflePartitions = 4)
+    val composed = KgPipeline.runOpen(spark, allTurns,
+      shufflePartitions = 4, gazetteerFastPathMax = 0)
+    val fusedT = fused.triples.collect()
+    val composedT = composed.triples.collect()
+    assert(fusedT.map(key).toSet == composedT.map(key).toSet)
+    assert(fusedT.length == composedT.length)
+    val fc = fused.canonicalMap.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val cc = composed.canonicalMap.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fc == cc)
+    // relabel forced off broadcast: identical triples, and the relabel
+    // joins carry NO broadcast hint (the physical join is then free to
+    // shuffle — the only shape that holds for an unbounded vocabulary)
+    val shuffled = KgPipeline.runOpen(spark, allTurns,
+      shufflePartitions = 4, relabelBroadcastMax = 0)
+    assert(shuffled.triples.collect().map(key).toSet ==
+      fusedT.map(key).toSet)
+    val hints = shuffled.triples.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hints.isEmpty,
+      s"relabel with knob=0 still planned ${hints.size} hinted join(s)")
+  }
+
+  test("wide open vocabulary (> LocalCanonMaxEntities distinct names) " +
+    "drives the DISTRIBUTED canonicalization branch and stays P/R-green") {
+    import spark.implicits._
+    val wide = TranscriptGen.openTranscriptsWide(spark, nConvs = 3000,
+      turnsPerConv = 8, nBases = 1500, partitions = 8).cache()
+    val result = KgPipeline.runOpen(spark, wide.toDF(), shufflePartitions = 8)
+    val got = result.triples.collect().toSeq
+    // the scale branch must actually have run (r4's bench pool of 16
+    // names always fell into the driver-local branch)
+    assert(result.canonPath.startsWith("distributed"),
+      s"canon path was '${result.canonPath}' — fixture too small")
+    val openCount = result.openEntities.count()
+    assert(openCount > graft.canon.Canonicalize.LocalCanonMaxEntities,
+      s"only $openCount open names detected")
+
+    val collected = wide.orderBy($"conv_id", $"turn_idx").collect().toSeq
+    val names = ReferenceOracle.openSurfaces(collected)
+    val canon = ReferenceOracle.openCanonicalMap(Vocab.entities, names)
+    val expected = ReferenceOracle.openTriples(collected).map(t =>
+      t.copy(subj = canon.getOrElse(t.subj, t.subj),
+        obj = canon.getOrElse(t.obj, t.obj)))
+    val (p, r) = ReferenceOracle.precisionRecall(got, expected)
+    withClue(s"precision=$p recall=$r got=${got.size} exp=${expected.size}: ") {
+      assert(p >= 0.95 && r >= 0.95)
+    }
+    // the distributed map equals the oracle's exact-jaccard union-find
+    // over the same (closed + open) entity table
+    val gotCanon = result.canonicalMap.collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(gotCanon == canon)
+    // the wide generator's digit-neighbor merges create multi-entity
+    // components — the regime pointer-jumping CC exists for
+    assert(gotCanon.count { case (k, v) => k != v } > 100,
+      "fixture produced almost no merges")
+    wide.unpersist()
+  }
+
   test("opt-in LSH banding edges are a subset of the exact edges, and " +
     "forced salting preserves the LSH pair set") {
     import spark.implicits._

@@ -81,6 +81,30 @@ class LineageCutSpec extends AnyFunSuite {
     }
   }
 
+  test("runOpen under Reliable lineage cut equals the default (the open " +
+    "pipeline is the cluster path — no hardcoded localCheckpoint left)") {
+    import graft.schema.Triple
+    val turns = graft.gen.TranscriptGen.openTranscripts(spark,
+      nConvs = 60, turnsPerConv = 8, nBases = 4, partitions = 2).toDF()
+    def key(t: Triple) = (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj)
+    // composed path (gazetteerFastPathMax = 0) so the reused
+    // open-mentions frame actually goes through the cut strategy
+    def run(cut: LineageCut) =
+      graft.pipeline.KgPipeline.runOpen(spark, turns,
+          shufflePartitions = 2, gazetteerFastPathMax = 0, cut = cut)
+        .triples.collect().map(key).toSet
+    val local = run(LineageCut.Local)
+    assert(local.nonEmpty, "fixture produced no triples")
+    withCheckpointDir {
+      val reliable = run(LineageCut.Reliable)
+      assert(reliable == local)
+      val dir = spark.sparkContext.getCheckpointDir.get
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(p).nonEmpty, "no reliable checkpoint written")
+    }
+  }
+
   test("k-means fit under Reliable equals the default strategy") {
     import spark.implicits._
     val df = (0 until 60)

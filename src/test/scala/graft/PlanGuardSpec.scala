@@ -50,23 +50,29 @@ class PlanGuardSpec extends AnyFunSuite {
             if (!hinted) failures += s"$name: unhinted cross join"
           case _ => ()
         }
-        // physical BNLJ: tolerated only when SOME logical join in the
-        // query carries an explicit strategy hint (the broadcast the
-        // operator author proved); otherwise it is stats-inferred
-        val hasBnlj = qe.sparkPlan.exists {
-          case _: BroadcastNestedLoopJoinExec => true
-          case _ => false
-        }
-        if (hasBnlj) {
-          val anyHint = qe.optimizedPlan.exists {
-            case j: Join =>
+        // physical BNLJ: tolerated only when ITS OWN logical join
+        // carries an explicit strategy hint (join-granular since r5:
+        // the old any-hint-in-query check let one legitimately hinted
+        // broadcast mask an unrelated stats-inferred BNLJ — e.g. a
+        // non-equi join Spark chose to broadcast off small-input stats,
+        // which silently regresses to a cartesian at 100-TB stats).
+        // Attribution: the physical join's children carry the SAME
+        // output ExprIds as the optimized logical join's children.
+        val logJoins = qe.optimizedPlan.collect { case j: Join => j }
+        qe.sparkPlan.foreach {
+          case b: BroadcastNestedLoopJoinExec =>
+            val bIds = (b.left.output ++ b.right.output)
+              .map(_.exprId).toSet
+            val mine = logJoins.filter(j =>
+              (j.left.output ++ j.right.output).map(_.exprId).toSet == bIds)
+            val hinted = mine.exists(j =>
               j.hint.leftHint.exists(_.strategy.isDefined) ||
-                j.hint.rightHint.exists(_.strategy.isDefined)
-            case _ => false
-          }
-      if (!anyHint)
-        failures += s"$name: stats-inferred BroadcastNestedLoopJoin"
-    }
+                j.hint.rightHint.exists(_.strategy.isDefined))
+            if (!hinted)
+              failures += s"$name: stats-inferred BroadcastNestedLoopJoin" +
+                (if (mine.isEmpty) " (unattributed)" else "")
+          case _ => ()
+        }
     failures.toSeq
   }
 
@@ -122,5 +128,28 @@ class PlanGuardSpec extends AnyFunSuite {
       val cart = audit("bad_cartesian", a.crossJoin(b))
       assert(cart.exists(_.contains("CartesianProduct")), s"got: $cart")
     } finally spark.conf.set(thr, old)
+  }
+
+  test("the BNLJ check is join-granular: a hinted broadcast elsewhere " +
+    "in the query does not mask a stats-inferred BNLJ") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (1 to 8).map(i => (i, s"a$i")).toDF("x", "xs")
+    val b = (1 to 8).toDF("y")
+    val c = (1 to 8).map(i => (i, s"c$i")).toDF("z", "zs")
+    // one LEGITIMATELY hinted broadcast equi-join ...
+    val good = a.join(broadcast(c), $"x" === $"z")
+    // ... plus a NON-EQUI join small enough that stats make it a BNLJ
+    // (it has a condition, so the cross-join logical check stays
+    // silent — exactly the masked case)
+    val masked = good.join(b, $"x" < $"y")
+    val out = audit("bad_masked_bnlj", masked)
+    assert(out.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"join-granular BNLJ check failed to fire: $out")
+    // and the same shape with the BNLJ itself hinted is clean
+    val hintedBoth = good.join(broadcast(b), $"x" < $"y")
+    val out2 = audit("ok_hinted_bnlj", hintedBoth)
+    assert(!out2.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"hinted BNLJ wrongly flagged: $out2")
   }
 }

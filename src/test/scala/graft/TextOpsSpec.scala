@@ -48,18 +48,55 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("charShingles == Embed.ngrams spec (the canon shingle unit)") {
+  test("charShingles == Embed.ngrams spec (the canon shingle unit), " +
+    "including non-BMP surrogate-pair surfaces") {
     import spark.implicits._
-    val surfaces = Seq("apache spark", "x", "kafka broker", "a", "ab")
+    // the non-ASCII entries contain astral-plane codepoints (surrogate
+    // PAIRS in UTF-16): "𝕏" = 𝕏 MATHEMATICAL DOUBLE-STRUCK X,
+    // "𝄞" = 𝄞 MUSICAL G CLEF, "🚀" = 🚀 — open
+    // vocabularies are corpus-derived and can contain anything, and
+    // Spark substring/length count CODEPOINTS while a naive String
+    // sliding walks UTF-16 units (the r4-documented divergence, closed
+    // in r5 by codepoint-sliding Embed.ngrams)
+    val surfaces = Seq("apache spark", "x", "kafka broker", "a", "ab",
+      "a𝕏b", "𝄞𝄞",
+      "naïve🚀x", "𝕏")
     val got = surfaces.toDF("s")
       .select(TextOps.charShingles($"s", 3)).as[Seq[String]]
       .collect().map(_.toSet)
     val expected = surfaces.map(s => graft.score.Embed.ngrams(s).toSet)
-    // charShingles drops <k-length degenerates; Embed keeps one ("##"
-    // for empty) — equality holds whenever padded length >= 3
+    // charShingles drops <k-codepoint degenerates; Embed keeps one
+    // ("##" for empty) — equality holds whenever padded codepoint
+    // count >= 3
     surfaces.zipWithIndex.foreach { case (s, i) =>
-      if (s.length + 2 >= 3) assert(got(i) == expected(i), s"surface=$s")
+      if (s.codePointCount(0, s.length) + 2 >= 3)
+        assert(got(i) == expected(i), s"surface=$s")
     }
+  }
+
+  test("local and distributed canonicalization agree on surrogate-pair " +
+    "surfaces (codepoint-shingle parity)") {
+    import spark.implicits._
+    // two spellings of an astral-plane name that must merge, plus an
+    // unrelated emoji surface that must not; a UTF-16-unit shingler
+    // would see broken-surrogate grams on the local path only
+    val rocket = "🚀"
+    val clef = "𝄞"
+    val ents = Seq(
+      ("e1", Seq("svc" + rocket + "alpha")),
+      ("e2", Seq("svc" + rocket + "alpha9")),
+      ("e3", Seq(clef + clef + clef)))
+    val surfDf = ents.toDF("entity_id", "surfaces")
+    val local = graft.canon.Canonicalize.canonicalMapDf(spark, surfDf,
+        localMaxEntities = Int.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = graft.canon.Canonicalize.canonicalMapDf(spark, surfDf,
+        localMaxEntities = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist)
+    assert(local("e1") == "e1" && local("e2") == "e1",
+      s"astral-name variants did not merge: $local")
+    assert(local("e3") == "e3")
   }
 
   test("stopword removal and html strip behave") {
