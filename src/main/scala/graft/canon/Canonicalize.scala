@@ -171,12 +171,23 @@ object Canonicalize {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // l'(v) = min(l(v), min over neighbors u of l(u)), via aggregate +
+      // left join + least rather than union + re-aggregate: the
+      // aggregation input is the join result alone (not join ∪ labels),
+      // and a Union of a checkpointed-lineage labels frame with a frame
+      // derived FROM it trips Spark's union constraint rewrite
+      // (AttributeMap key-not-found on LogicalRDD origin constraints
+      // referencing pruned attributes — observed with a
+      // localCheckpoint()ed entity table as canonicalMapDf input)
       val neighborMin = sym
         .join(labels, sym("dst") === labels("entity_id"))
-        .select(sym("src").as("entity_id"), col("canonical_id"))
-      val next = cut.cut(labels.unionByName(neighborMin)
-        .groupBy("entity_id")
-        .agg(min("canonical_id").as("canonical_id")))
+        .groupBy(sym("src").as("entity_id"))
+        .agg(min(col("canonical_id")).as("__nbr_min"))
+      val next = cut.cut(labels
+        .join(neighborMin, Seq("entity_id"), "left")
+        // least skips NULLs: an isolated vertex keeps its own label
+        .select(col("entity_id"),
+          least(col("canonical_id"), col("__nbr_min")).as("canonical_id")))
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("entity_id"))
         .filter(col("n.canonical_id") =!= col("o.canonical_id"))
@@ -243,13 +254,17 @@ object Canonicalize {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (A) propagate: l'(v) = min(l(v), min over neighbors u of l(u))
+      // (A) propagate: l'(v) = min(l(v), min over neighbors u of l(u));
+      // aggregate + left join + least, not union + re-aggregate (see
+      // connectedComponents for the union-constraint-rewrite rationale)
       val neighborMin = sym
         .join(labels, sym("dst") === labels("entity_id"))
-        .select(sym("src").as("entity_id"), col("canonical_id"))
-      val propagated = labels.unionByName(neighborMin)
-        .groupBy("entity_id")
-        .agg(min("canonical_id").as("canonical_id"))
+        .groupBy(sym("src").as("entity_id"))
+        .agg(min(col("canonical_id")).as("__nbr_min"))
+      val propagated = labels
+        .join(neighborMin, Seq("entity_id"), "left")
+        .select(col("entity_id"),
+          least(col("canonical_id"), col("__nbr_min")).as("canonical_id"))
       // (B) shortcut: l''(v) = l'(l'(v)) — one self-join on the label;
       // left + coalesce keeps dangling labels (an edge endpoint missing
       // from `vertices`) fixed instead of dropping the row
