@@ -426,7 +426,11 @@ object Canonicalize {
     * extracted from the corpus itself (reference analog: the
     * corpus-derived synset/cluster sets of
     * word_sense_pipeline.py:241-252 are built from data, not a fixed
-    * vocabulary). The driver-local fast path is keyed off ONE bounded
+    * vocabulary). CONTRACT: `entity_id` is unique (the open pipeline
+    * builds it from `distinct` surfaces); duplicate ids are undefined
+    * behavior — the local path last-write-wins through a Map while the
+    * distributed path would emit duplicate rows. The driver-local fast
+    * path is keyed off ONE bounded
     * `limit(localMaxEntities + 1)` collect (short-circuiting job, the
     * DataFrame analogue of `Seq.size`; the collected rows ARE the local
     * input, so the source is evaluated once); above the cutoff

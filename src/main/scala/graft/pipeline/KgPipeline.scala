@@ -318,7 +318,12 @@ object KgPipeline {
             gaz, entities, minLinkScore, predicates,
             openShapePattern = Some(shapePattern))
           .drop("ts").as[Triple]
-        val surf = MentionDetect.openMentions(spark, turnsP, gaz,
+        // raw `turns`, not turnsP: the surface scan is a separate
+        // action, so a turnsP lineage would RE-EXECUTE the full-corpus
+        // entry repartition (shuffle deps are not reused across jobs);
+        // the output is partitioning-invariant and the distinct's own
+        // exchange moves only the matching tokens
+        val surf = MentionDetect.openMentions(spark, turns, gaz,
           shapePattern).toDF().select($"surface").distinct()
         (t, surf)
       } else {
@@ -326,8 +331,11 @@ object KgPipeline {
         // gazetteer forces the join-based mention detection)
         val closed = EntityLink.link(spark,
           MentionDetect.mentions(spark, turnsP, gaz), entities, minLinkScore)
+        // raw `turns` for the same reason as the fused branch: mention
+        // rows carry their own (conv_id, turn_idx); TripleExtract
+        // repartitions the union itself
         val open = cut.cut(MentionDetect
-          .openMentions(spark, turnsP, gaz, shapePattern)
+          .openMentions(spark, turns, gaz, shapePattern)
           .toDF()) // reused: linked union + entity table
         val linkedOpen = open.select($"conv_id", $"turn_idx", $"token_pos",
             $"token_len", $"surface",
