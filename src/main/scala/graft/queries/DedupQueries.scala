@@ -70,6 +70,20 @@ object DedupQueries {
       graft.dedup.Dedup.simhash(t(s, d, "documents"), "doc_id", "text", 16)
         .orderBy($"doc_id")
     }),
+
+    // connected components over the t=0.7 near-dup graph: pointer-
+    // jumping label propagation (canonical_id = min doc_id reachable) —
+    // the canonicalization operator's CC core, DuckDB-checked against a
+    // recursive-CTE transitive closure (previously ScalaTest-only)
+    "q_graph_cc" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val edges = graft.dedup.Dedup.jaccardPairs(docs,
+        "doc_id", "text", 0.7).select($"src", $"dst")
+      graft.canon.Canonicalize.connectedComponentsFast(s,
+          docs.select($"doc_id".as("entity_id")), edges)
+        .orderBy($"entity_id")
+    }),
   )
 
   private val toksSql = TextQueriesSqlShared.toksSql
@@ -134,6 +148,30 @@ object DedupQueries {
     },
     "q_dedup_jaccard" -> jaccardOracleSql(JaccardThreshold),
     "q_dedup_jaccard_t07" -> jaccardOracleSql(0.7),
+    // transitive closure of the t=0.7 jaccard graph as a recursive CTE
+    // (UNION dedups, so the fixpoint is finite); labels flow along the
+    // symmetric edge set, min label = min id in component
+    "q_graph_cc" ->
+      s"""WITH RECURSIVE dd AS (SELECT doc_id, $shinglesSql AS __sh
+           FROM documents),
+         posting AS (SELECT doc_id, len(__sh) AS n_sh, unnest(__sh) AS g
+           FROM dd),
+         shared AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+             a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+           FROM posting a JOIN posting b
+           ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         e AS (SELECT src, dst FROM shared
+           WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.7),
+         sym AS (SELECT src, dst FROM e
+           UNION ALL SELECT dst AS src, src AS dst FROM e),
+         cc(id, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.dst AS id, c.label FROM sym s JOIN cc c ON c.id = s.src
+         )
+         SELECT id AS entity_id, MIN(label) AS canonical_id
+         FROM cc GROUP BY id ORDER BY entity_id""",
     "q_dedup_simhash" -> {
       val oddSet = "('1','3','5','7','9','b','d','f')"
       val bitTerms = (0 until 16).map { j =>
