@@ -131,6 +131,34 @@ object Dedup {
       df.select(col(id), shingles(col(text), shingleN).as("__sh")),
       id, "__sh", threshold, cut)
 
+  /** Broadcast-dispatch knobs for [[jaccardPairsOnSets]] (round 6):
+    * when the doc table is executor/driver-small and the prefix-posting
+    * table broadcast-small, the candidate join broadcasts its build
+    * side (emissions stream through the probe side's existing even
+    * partitioning — no exchange before the join, and no per-shingle-key
+    * skew: a df=2000 stem gram's quadratic emission spreads over every
+    * probe partition instead of hammering one hash(g) reducer) and
+    * verification runs INLINE per joined row through a per-executor
+    * id -> sorted-array lookup table ([[graft.functions.IntersectSets]]
+    * — two hash probes and a merge scan, NO array materialization into
+    * rows), deduplicating only the VERIFIED survivors. This removes the
+    * pair-dedup HashAggregate over every candidate pair (20M
+    * string-pair groups on the merge-dense entity vocabulary — measured
+    * 16-21 s of kg_open_large's 21 s candidate wall) and the verify
+    * joins. Above either knob the staged plan (shuffle_hash candidate
+    * join -> pair agg -> broadcast verify) is kept unchanged — the
+    * 100-TB shape. Both plans are result-identical (DedupSpec pins them
+    * on a threshold-straddling fixture).
+    *
+    * Sizing: MaxDocs bounds the driver collect and the per-executor
+    * table (~a few hundred MB of UTF8String objects at the bound for
+    * ~50-gram docs); MaxPostings bounds the broadcast build relation
+    * (slim 4-column rows). Production values are a deployment concern —
+    * the defaults keep bench-scale corpora (5k-16k docs) far inside.
+    */
+  val JaccardInlineMaxPostings = 4000000L
+  val JaccardInlineMaxDocs = 200000L
+
   /** The same exact prefix-filtered join over a PRECOMPUTED shingle-set
     * column (any element order — deduplicated and sorted internally, so
     * a caller passing duplicate elements still gets true set jaccard).
@@ -142,14 +170,31 @@ object Dedup {
     * [[graft.plans.LineageCut]]; the default localCheckpoint is right
     * in-sandbox, a cluster run over expensive lineage opts into
     * Reliable/Replicated.
+    *
+    * Physical dispatch: inline-broadcast verification while docs and
+    * prefix postings fit the broadcast knobs (cheap parallel `count()`s
+    * on the two checkpointed frames — never a single-partition limit
+    * probe), staged join+agg+verify above them; identical results on
+    * both sides of the cutoff.
     */
   def jaccardPairsOnSets(
       df: DataFrame, id: String, setCol: String,
       threshold: Double,
-      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
-      : DataFrame = {
-    val (docs, candF) = jaccardCandidates(df, id, setCol, threshold, cut)
-    jaccardVerify(docs, candF, id, threshold)
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default,
+      inlineMaxPostings: Long = JaccardInlineMaxPostings,
+      inlineMaxDocs: Long = JaccardInlineMaxDocs): DataFrame = {
+    val (docs, prefixes) = jaccardPrefixes(df, id, setCol, threshold, cut)
+    // cheap parallel counts: both frames are eagerly materialized by
+    // `cut` (every LineageCut strategy is eager), so count-then-collect
+    // cannot observe two different source evaluations
+    if (graft.functions.IntersectSets.supportedKey(
+          docs.schema.head.dataType) &&
+        docs.count() <= inlineMaxDocs &&
+        prefixes.count() <= inlineMaxPostings)
+      jaccardPairsInline(docs, prefixes, id, threshold)
+    else
+      jaccardVerify(docs, candidatePairs(prefixes, id, threshold),
+        id, threshold)
   }
 
   /** Noise-free selectivity evidence for the jaccard operator:
@@ -164,18 +209,24 @@ object Dedup {
       threshold: Double, shingleN: Int = 2,
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
       : (Long, Long) = {
-    val (docs, candF0) = jaccardCandidates(
+    // deliberately stays on the STAGED candidate pipeline regardless of
+    // the inline dispatch in jaccardPairsOnSets: the candidate count is
+    // round-over-round selectivity evidence for the in-join filters,
+    // and its definition (distinct pairs surviving the length +
+    // positional filters) must not move when the query's physical plan
+    // does. The verified count is plan-independent (exact).
+    val (docs, prefixes) = jaccardPrefixes(
       df.select(col(id), shingles(col(text), shingleN).as("__sh")),
       id, "__sh", threshold, cut)
-    val candF = cut.cut(candF0)
+    val candF = cut.cut(candidatePairs(prefixes, id, threshold))
     (candF.count(), jaccardVerify(docs, candF, id, threshold).count())
   }
 
-  /** shared stages 1-5 (see [[jaccardPairs]]): returns the materialized
-    * sorted-set doc table and the LAZY filtered candidate-pair frame
-    * (src, dst, na, nb).
+  /** shared stages 1-3 (see [[jaccardPairs]]): returns the materialized
+    * sorted-set doc table (id, sh, n implied by size) and the
+    * materialized prefix-posting table (id, n, pos, g).
     */
-  private def jaccardCandidates(
+  private def jaccardPrefixes(
       df: DataFrame, id: String, setCol: String,
       threshold: Double,
       cut: graft.plans.LineageCut): (DataFrame, DataFrame) = {
@@ -213,11 +264,32 @@ object Dedup {
     // FULL rare-first order (the prefix is a prefix of it), feeding the
     // positional (PPJoin) filter; `n` = the doc's full shingle count,
     // feeding both integer filters.
+    // Explicit spread (guide §2.5 "input skew" / AQE caveat): the
+    // prefix table is only a few MB of INPUT, so AQE's size-based
+    // coalescing collapses the upstream aggregation to ~1 partition —
+    // but the candidate join EMITS tens of millions of rows from it
+    // (quadratic in per-gram df), and under the inline-broadcast plan
+    // the probe side's stored partitioning IS the join's parallelism.
+    // Stack-sampled: without this, the whole candidate join + verify
+    // ran in ONE task on a 32-core session. repartition(n) with an
+    // explicit count is exempt from AQE coalescing; n = the session's
+    // shuffle-partition setting, so it scales with the deployment
+    // rather than any local constant.
     val prefixes = cut.cut(
       ordered.select(col(id), col("n_sh").cast("int").as("n"),
         posexplode(slice(col("ord.g"), lit(1), prefixLen))
           .as(Seq("pos0", "g")))
-      .select(col(id), col("n"), (col("pos0") + 1).as("pos"), col("g")))
+      .select(col(id), col("n"), (col("pos0") + 1).as("pos"), col("g"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
+    (docs, prefixes)
+  }
+
+  /** stages 4-5 of the STAGED plan (see [[jaccardPairs]]): prefix
+    * equi-join with in-join filters, then the pair-dedup aggregation —
+    * the LAZY filtered candidate-pair frame (src, dst, na, nb).
+    */
+  private def candidatePairs(
+      prefixes: DataFrame, id: String, threshold: Double): DataFrame = {
     // Two candidate filters from four ints, applied PER JOINED ROW
     // inside the join so pruned rows never reach the pair shuffle:
     //  - length: jaccard >= t forces |A∩B| >= t*max(|A|,|B|) and
@@ -244,7 +316,7 @@ object Dedup {
     // +int payload); min(pos) minima both land on g* (order-consistent
     // positions), and na/nb ride as constant-per-doc agg payload so no
     // sizes re-join is needed.
-    val candF = prefixes.alias("a")
+    prefixes.alias("a")
       .join(prefixes.alias("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
@@ -253,7 +325,68 @@ object Dedup {
             col("b.n") - col("b.pos")) >= rowOverlapBound)
       .groupBy(col(s"a.$id").as("src"), col(s"b.$id").as("dst"))
       .agg(min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
-    (docs, candF)
+  }
+
+  /** INLINE-broadcast plan (round 6, guide §2.4/§3.1): the same prefix
+    * equi-join and in-join integer filters as [[candidatePairs]], but
+    * the build side is an explicit broadcast (the dispatch in
+    * [[jaccardPairsOnSets]] proved it executor-small), so candidate
+    * emission streams through the probe side's existing partitions —
+    * no Exchange before the join and no per-shingle-key emission skew
+    * (a df=2000 stem gram quadratically emits inside ONE task under
+    * hash(g) shuffle; under broadcast its emissions spread over every
+    * probe partition its postings land in). Verification then runs PER
+    * EMITTED ROW, with the join output kept SLIM (src, dst, na, nb):
+    * the bounded merge scan keys into a per-executor id -> sorted-array
+    * table ([[graft.functions.IntersectSets]], embedded in the plan the
+    * same way NearestCentroid embeds its centroids) — an
+    * attach-arrays-by-join variant was measured 2-4x SLOWER than the
+    * staged plan because it materialized both shingle arrays into every
+    * emitted row (and re-copied them through the second attach join).
+    * EvalOnce pins the scan to one evaluation (the common/jaccard
+    * filters otherwise merge into a join condition and evaluate it
+    * three times — observed in the r5 q_dedup_jaccard plan). The only
+    * shuffle left is the dedup aggregation over rows of VERIFIED pairs
+    * (11.5k of 9.97M candidates at t=0.1; 2.73M of 20.2M on the
+    * merge-dense entity vocabulary) instead of over every candidate
+    * pair. Result-identical to the staged plan: the in-join filters
+    * only prune (1e-9-guarded), each surviving row of a pair carries
+    * the pair's constant (na, nb), the bounded scan never early-exits a
+    * qualifying pair, and the final jaccard filter applies the
+    * identical double formula; duplicates (one row per shared prefix
+    * gram) collapse in the final aggregation.
+    */
+  private def jaccardPairsInline(
+      docs: DataFrame, prefixes: DataFrame, id: String,
+      threshold: Double): DataFrame = {
+    val sets = graft.functions.IntersectSets.fromRows(
+      docs.select(col(id), col("sh")).collect())
+    val rowOverlapBound =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n"))
+        - lit(1e-9) * (col("a.n") + col("b.n")))
+    val minOverlap =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("na") + col("nb"))
+        - lit(1e-9) * (col("na") + col("nb")))
+    prefixes.alias("a")
+      .join(broadcast(prefixes.alias("b")),
+        col("a.g") === col("b.g") && col(s"a.$id") < col(s"b.$id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            (lit(threshold) - lit(1e-9)) * greatest(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - col("a.pos"),
+            col("b.n") - col("b.pos")) >= rowOverlapBound)
+      .select(col(s"a.$id").as("src"), col(s"b.$id").as("dst"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .withColumn("common", graft.functions.EvalOnce.eval_once(
+        graft.functions.SortedIntersectLookupAtLeast.sorted_intersect_lookup(
+          col("src"), col("dst"), minOverlap.cast("int"), sets)))
+      .filter(col("common") >= 0)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("common")).cast("long").as("common"),
+        min(col("jaccard")).as("jaccard"))
+      .select(col("src"), col("dst"), col("common"), col("jaccard"))
   }
 
   /** stage 6 (see [[jaccardPairs]]): bounded merge-scan verification of
@@ -274,12 +407,16 @@ object Dedup {
     // pair has common >= ceil(t(na+nb)/(1+t)) >= the loosened bound,
     // so it is never early-exited and its count is exact; the final
     // jaccard filter then applies the precise threshold.
+    // EvalOnce: without it the common/jaccard filters are pushed into
+    // the (broadcast) attach-join condition, where each of their THREE
+    // textual references to the merge scan is evaluated per candidate
+    // pair (observed in the r5 plan of q_dedup_jaccard)
     candF
       .join(docs.select(col(id).as("src"), col("sh").as("sha")), "src")
       .join(docs.select(col(id).as("dst"), col("sh").as("shb")), "dst")
-      .withColumn("common",
+      .withColumn("common", graft.functions.EvalOnce.eval_once(
         graft.functions.SortedIntersectSize.sorted_intersect_at_least(
-          col("sha"), col("shb"), minOverlap.cast("int")))
+          col("sha"), col("shb"), minOverlap.cast("int"))))
       .filter(col("common") >= 0)
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))

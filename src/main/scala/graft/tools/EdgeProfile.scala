@@ -37,6 +37,21 @@ object EdgeProfile {
     val withSh = graft.canon.Canonicalize.withShingles(surf)
       .select($"entity_id", $"shingles")
 
+    // the real operator entry under both physical dispatches
+    for (rep <- 1 to 2) {
+      t(s"pairsOnSets inline r$rep") {
+        val n = graft.dedup.Dedup.jaccardPairsOnSets(
+          withSh, "entity_id", "shingles", threshold).count()
+        println(s"  pairs=$n")
+      }
+      t(s"pairsOnSets staged r$rep") {
+        val n = graft.dedup.Dedup.jaccardPairsOnSets(
+          withSh, "entity_id", "shingles", threshold,
+          inlineMaxPostings = 0, inlineMaxDocs = 0).count()
+        println(s"  pairs=$n")
+      }
+    }
+
     for (rep <- 1 to 2) {
       println(s"--- rep $rep (t=$threshold)")
       val docs = t("shingles(ckpt)") {

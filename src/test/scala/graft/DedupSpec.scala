@@ -65,6 +65,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("inline-broadcast jaccard plan == staged plan (forced via knobs): " +
+    "identical full rows incl. common and jaccard doubles") {
+    val df = corpus()
+    val sets = df.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+    def rows(d: DataFrame): Set[(Long, Long, Long, Double)] =
+      d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for (t <- Seq(0.1, 0.5, 0.8)) {
+      val inline = Dedup.jaccardPairsOnSets(sets, "doc_id", "s", t)
+      val staged = Dedup.jaccardPairsOnSets(sets, "doc_id", "s", t,
+        inlineMaxPostings = 0, inlineMaxDocs = 0)
+      // the dispatch actually took different physical paths
+      assert(!inline.queryExecution.executedPlan.toString
+        .contains("ShuffledHashJoin"), s"inline plan at t=$t")
+      assert(staged.queryExecution.executedPlan.toString
+        .contains("ShuffledHashJoin"), s"staged plan at t=$t")
+      assert(rows(inline) == rows(staged), s"threshold=$t")
+    }
+  }
+
   test("jaccardPairStats: verified count == jaccardPairs row count, " +
     "candidates >= verified, and candidates shrink as t rises") {
     val df = corpus()
