@@ -74,9 +74,15 @@ object Canonicalize {
   }
 
   def withShingles(entitySurfaces: DataFrame): DataFrame =
-    entitySurfaces.withColumn("shingles",
-      array_distinct(flatten(transform(col("surfaces"),
-        s => TextOps.charShingles(s, 3)))))
+    // spread BEFORE the gram projection: a corpus-derived surface table
+    // typically arrives through a distinct whose output AQE coalesced
+    // to ~1 partition, so the char-gram flatten + distinct (and every
+    // downstream per-row stage) would run in ONE task (guide §2.5;
+    // no-op when the input is already wide)
+    graft.plans.Spread.ensure(entitySurfaces, col("entity_id"))
+      .withColumn("shingles",
+        array_distinct(flatten(transform(col("surfaces"),
+          s => TextOps.charShingles(s, 3)))))
 
   /** Degenerate band buckets (> this many entities) are salted into
     * SaltFactor^2 join cells (plans.Salting.saltedSelfJoinPairs) — the
@@ -163,8 +169,13 @@ object Canonicalize {
       maxIter: Int = 25,
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
       : DataFrame = {
+    // pre-partition + pre-sort the loop-invariant symmetric edge table
+    // by the join key once — see connectedComponentsFastWithRounds
+    val parts = spark.sessionState.conf.numShufflePartitions
     val sym = cut.cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("dst"))
+      .sortWithinPartitions(col("dst")))
 
     var labels = cut.cut(vertices
       .select(col("entity_id"), col("entity_id").as("canonical_id")))
@@ -246,8 +257,23 @@ object Canonicalize {
       maxIter: Int = 50,
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
       : (DataFrame, Int) = {
+    // The symmetric edge table is LOOP-INVARIANT but by far the widest
+    // frame in every round's neighbor-min join (2x the edge count; the
+    // labels side is one row per vertex). Pre-partition AND pre-sort it
+    // by the join key ONCE before the cut: localCheckpoint preserves
+    // both the partitioning and the within-partition ordering, so every
+    // round's sort-merge join reuses them and only the (small) labels
+    // side is exchanged+sorted per round — previously the checkpointed
+    // edges (unknown partitioning, unknown size => no broadcast) were
+    // re-exchanged and re-sorted in EVERY round (guide §2.4 "share one
+    // exchange" across the driver-controlled loop). Partition count =
+    // the session's shuffle setting, the same deployment knob every
+    // other exchange uses.
+    val parts = spark.sessionState.conf.numShufflePartitions
     val sym = cut.cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("dst"))
+      .sortWithinPartitions(col("dst")))
 
     var labels = cut.cut(vertices
       .select(col("entity_id"), col("entity_id").as("canonical_id")))

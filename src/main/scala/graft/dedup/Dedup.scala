@@ -40,13 +40,20 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, id: String, text: String,
       numHashes: Int, shingleN: Int = 2): DataFrame = {
-    val exploded = df.select(col(id),
+    // spread BEFORE the shingle projection: the numHashes md5s per
+    // exploded gram are the operator's dominant CPU and would otherwise
+    // run at the scan's parallelism (ONE task on a one-file corpus —
+    // guide §2.5); the id-hash partitioning is then REUSED by both the
+    // signature groupBy and the distinct (guide §2.4), so the plan
+    // gains no additional exchange
+    val dfS = graft.plans.Spread.ensure(df, col(id))
+    val exploded = dfS.select(col(id),
       explode(shingles(col(text), shingleN)).as("g"))
     val agg = exploded.groupBy(col(id)).agg(
       min(md5(concat(lit("0:"), col("g")).cast("binary"))).as("h0"),
       (1 until numHashes).map(k =>
         min(md5(concat(lit(s"$k:"), col("g")).cast("binary"))).as(s"h$k")): _*)
-    df.select(col(id)).distinct().join(agg, Seq(id), "left")
+    dfS.select(col(id)).distinct().join(agg, Seq(id), "left")
   }
 
   /** LSH banding over signatures -> candidate pairs + estimated
@@ -76,11 +83,16 @@ object Dedup {
       // they have no estimable similarity and concat_ws would otherwise
       // collapse them all into one degenerate band bucket
       .filter(col("h0").isNotNull))
+    // the checkpointed signature frame inherits the post-aggregation
+    // partitioning, which AQE coalesces to ~1 partition at bench scale;
+    // the band explode + candidate join emission then runs in ONE task.
+    // Spread it back out (no-op when the agg output is already wide).
+    val sigS = graft.plans.Spread.ensure(sig, col(id))
     val bands = (0 until numHashes / bandRows).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
     }
-    val keys = sig.select(col(id), explode(array(bands: _*)).as("band"))
+    val keys = sigS.select(col(id), explode(array(bands: _*)).as("band"))
     // materialize = false: keys is one cheap explode over the already-
     // checkpointed sig; pinning a second copy costs more than re-derive
     val pairs = graft.plans.Salting.saltedSelfJoinPairs(
@@ -127,8 +139,12 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       threshold: Double, shingleN: Int = 2,
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default): DataFrame =
+    // spread the RAW doc table before the shingle projection: tokenize +
+    // n-gram + distinct is the docs stage's CPU and runs at scan
+    // parallelism otherwise (guide §2.5; no-op at production scale)
     jaccardPairsOnSets(
-      df.select(col(id), shingles(col(text), shingleN).as("__sh")),
+      graft.plans.Spread.ensure(df, col(id))
+        .select(col(id), shingles(col(text), shingleN).as("__sh")),
       id, "__sh", threshold, cut)
 
   /** Broadcast-dispatch knobs for [[jaccardPairsOnSets]] (round 6):
@@ -216,7 +232,8 @@ object Dedup {
     // positional filters) must not move when the query's physical plan
     // does. The verified count is plan-independent (exact).
     val (docs, prefixes) = jaccardPrefixes(
-      df.select(col(id), shingles(col(text), shingleN).as("__sh")),
+      graft.plans.Spread.ensure(df, col(id))
+        .select(col(id), shingles(col(text), shingleN).as("__sh")),
       id, "__sh", threshold, cut)
     val candF = cut.cut(candidatePairs(prefixes, id, threshold))
     (candF.count(), jaccardVerify(docs, candF, id, threshold).count())
@@ -431,6 +448,7 @@ object Dedup {
   def simhash(df: DataFrame, id: String, text: String,
       bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 32)
+    val dfS = graft.plans.Spread.ensure(df, col(id))
     val dtoks = array_distinct(TextOps.tokens(col(text)))
     val hashes = transform(dtoks, x => md5(x.cast("binary")))
     val bitArr = transform(sequence(lit(0), lit(bits - 1)), j =>
@@ -441,6 +459,6 @@ object Dedup {
       zip_with(bitArr, transform(sequence(lit(0), lit(bits - 1)),
         j => pow(lit(2.0), j).cast("long")), (b, p) => b * p),
       lit(0L), (acc, x) => acc + x)
-    df.select(col(id), value.as(s"simhash$bits"))
+    dfS.select(col(id), value.as(s"simhash$bits"))
   }
 }

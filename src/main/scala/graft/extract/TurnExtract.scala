@@ -224,7 +224,12 @@ object TurnExtract {
             if (gazBi.contains(bg))
               spans += Span(i, 2, bg, is_mention = true)
           }
-          if (openRe != null && openRe.matcher(toks(i)).matches() &&
+          // find(), not matches(): the composed branch's openMentions
+          // uses rlike (substring FIND) — with the default anchored
+          // OpenShapePattern the two agree, but a caller-supplied
+          // unanchored pattern must yield the same triples on both
+          // sides of gazetteerFastPathMax (r5 ADVICE)
+          if (openRe != null && openRe.matcher(toks(i)).find() &&
               !gazToks.contains(toks(i)))
             open += ((i, 1, "open:" + toks(i), 1.0))
           i += 1

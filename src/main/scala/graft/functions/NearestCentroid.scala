@@ -10,14 +10,18 @@ import org.apache.spark.sql.types._
   * against a centroid matrix carried as a codegen REFERENCE OBJECT.
   *
   * The literal-expression assignment (KMeansCluster.assignExprLiteral:
-  * `array_min(array(k structs of d-literal zip_with))`) is ideal at
-  * small k*d but materializes k*d literals into the generated Java —
-  * a few hundred centroids x a few hundred dims blows past the JVM's
-  * 64KB method / constant-pool limits and falls out of whole-stage
-  * codegen. Here the centroids ride as ONE `double[][]` reference in
-  * the generated class (ctx.addReferenceObj — the same mechanism
-  * broadcast scalar state uses), and the generated code is a fixed-size
-  * nested loop independent of k and d.
+  * `array_min(array(k structs of d-literal zip_with))`) materializes
+  * k*d literals into the generated Java — a few hundred centroids x a
+  * few hundred dims blows past the JVM's 64KB method / constant-pool
+  * limits — and its per-centroid `aggregate(zip_with(...))` distances
+  * are higher-order functions that Catalyst evaluates INTERPRETED
+  * (round 6: measured ~30% slower per Lloyd's iteration even at
+  * k=4/d=64, so this loop expression is now the only production path;
+  * the literal form remains as KMeansSpec's parity oracle). Here the
+  * centroids ride as ONE `double[][]` reference in the generated class
+  * (ctx.addReferenceObj — the same mechanism broadcast scalar state
+  * uses), and the generated code is a fixed-size nested loop
+  * independent of k and d.
   *
   * BYTE-IDENTICAL to the literal path by construction (KMeansSpec pins
   * both at k >= 128):
@@ -37,8 +41,8 @@ import org.apache.spark.sql.types._
   * literal path exactly: Spark's round(double, 6) passes non-finite
   * values through unchanged (BigDecimal.valueOf would throw on NaN),
   * and the argmin uses Spark's NaN-greatest total order (the struct
-  * array_min ordering), so behavior cannot flip at the
-  * LiteralArgminMaxCells dispatch cutoff.
+  * array_min ordering), so behavior is pinned to the parity oracle on
+  * non-finite inputs too.
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {

@@ -21,10 +21,10 @@ object Materialize {
     * hint (a 10M-entry string pair map is ~hundreds of MB — the upper
     * edge of a comfortable executor broadcast); above it the hint is
     * dropped and the relabel is a shuffle equi-join on entity id, which
-    * holds for any vocabulary size. Probed with one bounded
-    * `limit(knob + 1).count()` job (short-circuiting; callers on the
-    * scale path hand in an already-cut map, so the probe is a cheap
-    * re-read, not a recompute).
+    * holds for any vocabulary size. Probed with one plain parallel
+    * `count()` (callers hand in an already-cut map, so the probe is a
+    * cheap fully-parallel re-read, not a recompute — and never the
+    * single-task GlobalLimit funnel a limit(knob+1) probe plans).
     */
   val RelabelBroadcastMaxEntities = 10000000L
 
@@ -40,11 +40,13 @@ object Materialize {
       maxBroadcastEntities: Long = RelabelBroadcastMaxEntities)
       : Dataset[Triple] = {
     import spark.implicits._
+    // plain parallel count, NOT limit(knob+1).count(): the limit probe
+    // planned LocalLimit -> single-partition GlobalLimit, funnelling up
+    // to knob rows through ONE task before the relabel joins even
+    // started (r5 ADVICE). Callers hand in a lineage-cut map, so the
+    // count is a cheap fully-parallel job over the checkpointed frame.
     val useBroadcast = maxBroadcastEntities > 0 &&
-      canonicalMap
-        .limit((math.min(maxBroadcastEntities, Int.MaxValue.toLong - 1) + 1)
-          .toInt)
-        .count() <= maxBroadcastEntities
+      canonicalMap.count() <= maxBroadcastEntities
     def hinted(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     val subjMap = canonicalMap.select(

@@ -105,6 +105,12 @@ object KMeansCluster {
       cache: Boolean,
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
       : DataFrame = {
+    // NOT spread (round-6 A/B, MicroProbe): repartitioning the working
+    // set to session width made every Lloyd's job a wide job whose
+    // scheduling overhead (~0.25 s per 32-task job on this sandbox)
+    // exceeded the single-split compute it parallelized — the query
+    // regressed 1.35 -> 1.55 s. At production scale the scan is already
+    // wide and the iteration jobs inherit that width naturally.
     val pts = df.filter(col(vec).isNotNull)
       .select(col(id).as("__id"), quant(col(vec)).as("q"))
     if (cache) cut.cut(pts) else pts
@@ -146,31 +152,26 @@ object KMeansCluster {
     fitOnPts(prepare(df, id, vec, cache, cut), k, iters)
   }
 
-  /** Cell-count cutoff for the literal-codegen assignment: each
-    * centroid cell materializes ~1 double literal + arithmetic into
-    * the generated Java, and past a few thousand cells the method
-    * blows the JVM's 64KB codegen limits (Janino then falls back to
-    * interpreted eval — a silent hot-path cliff). Above the cutoff the
-    * centroids ride as ONE codegen reference object
-    * (functions.NearestCentroid) whose generated loop size is
-    * independent of k*d. 2048 keeps the bench configuration (k=4,
-    * d=64 = 256 cells) on the unchanged literal plan; both paths are
-    * pinned byte-identical in KMeansSpec at k=128.
-    */
-  val LiteralArgminMaxCells = 2048
-
-  /** argmin of squared L2 distance over the centroids, size-adaptive:
-    * literal-codegen expression at small k*d, reference-object loop
-    * expression above [[LiteralArgminMaxCells]] — identical results by
-    * construction (same accumulation order, rounding, tiebreak).
+  /** argmin of squared L2 distance over the centroids — ALWAYS the
+    * reference-object loop expression (functions.NearestCentroid, one
+    * codegen'd nested loop whose generated-code size is independent of
+    * k*d). Round 6: the loop path measured ~30% faster per Lloyd's
+    * iteration than the literal-struct argmin even at the bench's
+    * k=4/d=64 (KmeansProbe, 0.17-0.20 s vs 0.24-0.34 s steady-state)
+    * — the literal path's per-centroid `aggregate(zip_with(...))`
+    * distances are higher-order functions, which Catalyst evaluates
+    * INTERPRETED (CodegenFallback) with a fresh 64-element array
+    * allocation per centroid per row. The former k*d <= 2048 literal
+    * dispatch is gone; [[assignExprLiteral]] remains as the
+    * independently-derived parity oracle KMeansSpec pins the loop
+    * expression against (identical accumulation order, rounding,
+    * tiebreak — byte-identical assignments at k=128 and at k=4).
     */
   def assignExpr(q: Column, centroids: Array[Array[Double]]): Column =
-    if (centroids.length.toLong * centroids(0).length <= LiteralArgminMaxCells)
-      assignExprLiteral(q, centroids)
-    else assignExprLoop(q, centroids)
+    assignExprLoop(q, centroids)
 
-  /** literal-centroid path: array_min of (rounded distance, cluster id)
-    * structs — struct ordering gives the id tiebreak.
+  /** literal-centroid parity oracle: array_min of (rounded distance,
+    * cluster id) structs — struct ordering gives the id tiebreak.
     */
   def assignExprLiteral(q: Column, centroids: Array[Array[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, j) =>

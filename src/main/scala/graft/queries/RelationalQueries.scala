@@ -19,6 +19,17 @@ object RelationalQueries {
   /** sum(cast decimal) cast double — order-independent exact sum. */
   private def sumd(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** GlobalRank partition count = the session's shuffle-partition
+    * setting (round 6): the former constant 4 capped the range
+    * repartition + window + checkpoint at 4-way parallelism on ANY
+    * deployment — a constant tuned for neither local nor cluster mode
+    * (guide §2 "make partitioning scale-adaptive"). Global ranks and
+    * running sums are partition-count-invariant (per-partition ranks +
+    * exact offsets), so results are unchanged at any value.
+    */
+  private def parts(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
   private def sqlSumd(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -112,10 +123,10 @@ object RelationalQueries {
       import s.implicits._
       val o = graft.plans.GlobalRank.withGlobalRowNumber(
         t(s, d, "orders").select($"o_orderkey", $"o_totalprice"),
-        "rn", Seq($"o_orderkey"), 4).select($"o_totalprice", $"rn")
+        "rn", Seq($"o_orderkey"), parts(s)).select($"o_totalprice", $"rn")
       val c = graft.plans.GlobalRank.withGlobalRowNumber(
         t(s, d, "customer").select($"c_custkey", $"c_acctbal"),
-        "rn", Seq($"c_custkey"), 4).select($"c_acctbal", $"rn")
+        "rn", Seq($"c_custkey"), parts(s)).select($"c_acctbal", $"rn")
       o.join(c, "rn")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when($"o_totalprice" > $"c_acctbal", 1L).otherwise(0L))
@@ -229,9 +240,9 @@ object RelationalQueries {
       import s.implicits._
       val ev = t(s, d, "events").select($"event_id", $"value", $"user_id")
       val rx = graft.plans.GlobalRank.withGlobalRowNumber(
-        ev, "rank_x", Seq($"value", $"event_id"), 4)
+        ev, "rank_x", Seq($"value", $"event_id"), parts(s))
       val both = graft.plans.GlobalRank.withGlobalRowNumber(
-        rx, "rank_y", Seq($"user_id", $"event_id"), 4)
+        rx, "rank_y", Seq($"user_id", $"event_id"), parts(s))
       val agg = both.agg(
         count(lit(1)).cast("double").as("n"),
         sum($"rank_x").cast("double").as("sx"),
@@ -255,7 +266,7 @@ object RelationalQueries {
       val total = ev.agg(sum($"label").as("total_pos"))
       // distributed global rank + running sum (no single-partition window)
       val ranked = graft.plans.GlobalRank.withGlobalRankAndCumSum(
-        ev, "rank", "tp", $"label", Seq($"value".desc, $"event_id"), 4)
+        ev, "rank", "tp", $"label", Seq($"value".desc, $"event_id"), parts(s))
       ranked.crossJoin(broadcast(total))
         .withColumn("precision", $"tp".cast("double") / $"rank")
         .withColumn("recall", $"tp".cast("double") / $"total_pos")
@@ -324,7 +335,7 @@ object RelationalQueries {
         .select($"event_id", $"value",
           when($"event_type" === "purchase", 1L).otherwise(0L).as("label"))
       val ranked = graft.plans.GlobalRank.withGlobalRankAndCumSum(
-        ev, "rank", "tp", $"label", Seq($"value".desc, $"event_id"), 4)
+        ev, "rank", "tp", $"label", Seq($"value".desc, $"event_id"), parts(s))
       ranked
         .agg(
           round(sum(when($"label" === 1,

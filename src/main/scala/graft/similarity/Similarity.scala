@@ -25,13 +25,19 @@ object Similarity {
   def coef(plane: Int, dim: Int): Double =
     if (OddHex.contains(md5hex(s"$plane:$dim").substring(0, 1))) 1.0 else -1.0
 
-  /** Sign-bucket id over `numPlanes` hyperplanes for a `dims`-dim vector. */
+  /** Sign-bucket id over `numPlanes` hyperplanes for a `dims`-dim
+    * vector. Round 6: the per-plane projection is the codegen
+    * [[graft.functions.DotConst]] expression — the former
+    * `aggregate(zip_with(...))` HOF pair per plane was interpreted
+    * (CodegenFallback) and allocated an intermediate array per plane
+    * per row; DotConst is bit-identical by construction (same
+    * accumulation order, same null semantics — see its scaladoc).
+    */
   def lshBucket(e: Column, numPlanes: Int, dims: Int): Column =
     (0 until numPlanes).map { p =>
       val coefs = Array.tabulate(dims)(i => coef(p, i))
-      when(aggregate(
-        zip_with(e, lit(coefs), (v, c) => v.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x) >= 0, 1L << p).otherwise(0L)
+      when(graft.functions.DotConst.dot_const(e, coefs) >= 0, 1L << p)
+        .otherwise(0L)
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k: broadcast the (small) query side, scan
@@ -42,7 +48,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qe"))
-    val scored = corpus.crossJoin(broadcast(q))
+    // spread the probe side: the per-row cosine scan against the
+    // broadcast query block runs at scan parallelism otherwise (ONE
+    // task on a one-file corpus — guide §2.5; no-op at scale)
+    val scored = graft.plans.Spread.ensure(corpus, col(id))
+      .crossJoin(broadcast(q))
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id).as("neighbor_id"),
         round(CosineSim.cosine_sim(col("__qe"), col(vec)), 6).as("cos_sim"))
@@ -65,9 +75,9 @@ object Similarity {
       val bucket = (0 until planesPerBand).map { p =>
         val plane = b * planesPerBand + p
         val coefs = Array.tabulate(dims)(i => coef(plane, i))
-        when(aggregate(
-          zip_with(e, lit(coefs), (v, c) => v.cast("double") * c),
-          lit(0.0), (acc, x) => acc + x) >= 0, 1L << p).otherwise(0L)
+        // codegen projection — see lshBucket
+        when(graft.functions.DotConst.dot_const(e, coefs) >= 0, 1L << p)
+          .otherwise(0L)
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }: _*)
@@ -98,14 +108,17 @@ object Similarity {
           .as("bb"))
       .select(col(idAs), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val cand = keys(corpus, "neighbor_id")
+    // spread the corpus side before the per-row band hashing (guide
+    // §2.5; no-op at scale) — the query side stays as-is (broadcast)
+    val corpusS = graft.plans.Spread.ensure(corpus, col(id))
+    val cand = keys(corpusS, "neighbor_id")
       .join(broadcast(keys(queries, "query_id")), Seq("band", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qe"))
     val scored = cand
-      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("__ce")),
+      .join(corpusS.select(col(id).as("neighbor_id"), col(vec).as("__ce")),
         "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -139,8 +152,9 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       numPlanes: Int, dims: Int): DataFrame = {
-    val b = corpus.select(col(id), col(vec),
-      lshBucket(col(vec), numPlanes, dims).as("__bucket"))
+    val b = graft.plans.Spread.ensure(corpus, col(id))
+      .select(col(id), col(vec),
+        lshBucket(col(vec), numPlanes, dims).as("__bucket"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qe"),
       lshBucket(col(vec), numPlanes, dims).as("__bucket"))
     val scored = b.join(q, "__bucket")

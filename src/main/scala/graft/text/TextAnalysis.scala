@@ -83,10 +83,21 @@ object TextAnalysis {
     */
   def cTfIdf(
       df: DataFrame, cls: String, text: String, topK: Int): DataFrame = {
-    val terms = df.select(col(cls),
-      explode(TextOps.tokens(col(text))).as("term"))
-    val grouped = terms.groupBy(col(cls), col("term"))
-      .agg(count(lit(1)).as("cnt"))
+    // NOT spread (round-6 A/B, CtfidfProbe): parallelizing the tokenize
+    // behind an extra exchange measured SLOWER than the single-split
+    // scan at bench scale (0.82-0.89 s vs 0.55-0.63 with the cut alone)
+    // — the per-row work is too light to pay for an exchange plus
+    // wide-job scheduling; at production scale the scan is already wide
+    val terms = df
+      .select(col(cls), explode(TextOps.tokens(col(text))).as("term"))
+    // `grouped` feeds THREE consumers (scored, totals, dfreq): without
+    // a cut the tokenize+explode+aggregate subtree executes once per
+    // consumer (three full corpus passes in the r5 plan — guide §2.4
+    // duplicated subtrees / §5 lineage truncation). The cut frame is
+    // tiny: one row per distinct (class, term).
+    val grouped = graft.plans.LineageCut.Default.cut(
+      terms.groupBy(col(cls), col("term"))
+        .agg(count(lit(1)).as("cnt")))
     val totals = grouped.groupBy(col(cls))
       .agg(sum(col("cnt")).as("cls_total"))
     val dfreq = grouped.groupBy(col("term"))
