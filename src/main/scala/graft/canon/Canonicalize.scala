@@ -255,27 +255,61 @@ object Canonicalize {
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 50,
-      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default)
+      cut: graft.plans.LineageCut = graft.plans.LineageCut.Default,
+      /** dev hook (CcProbe A/B): disable the string->long rank
+        * encoding; results are identical either way
+        */
+      encodeIds: Boolean = true)
       : (DataFrame, Int) = {
-    // The symmetric edge table is LOOP-INVARIANT but by far the widest
-    // frame in every round's neighbor-min join (2x the edge count; the
-    // labels side is one row per vertex). Pre-partition AND pre-sort it
-    // by the join key ONCE before the cut: localCheckpoint preserves
-    // both the partitioning and the within-partition ordering, so every
-    // round's sort-merge join reuses them and only the (small) labels
-    // side is exchanged+sorted per round — previously the checkpointed
-    // edges (unknown partitioning, unknown size => no broadcast) were
-    // re-exchanged and re-sorted in EVERY round (guide §2.4 "share one
-    // exchange" across the driver-controlled loop). Partition count =
-    // the session's shuffle setting, the same deployment knob every
-    // other exchange uses.
+    // ---- round-6 physical preparation, semantics unchanged ----
+    // (1) STRING vertex ids are rank-encoded to dense longs for the
+    // loop. Catalyst has no mutable agg buffer for min(string), so
+    // every round's neighbor-min aggregation planned as SortAggregate
+    // — TWO sorts (partial + final) of the edge-scale join output per
+    // round (observed in the executed plan, tools/CcPlanProbe).
+    // GlobalRank's rank over entity_id ASC preserves the string order
+    // exactly, so min(rank) == rank(min(string)) and the decoded fixed
+    // point is identical; on longs the aggregation is a HashAggregate
+    // and every per-round shuffle carries 8-byte keys instead of
+    // strings. Long/int ids (q_graph_cc's doc ids) skip the encoding —
+    // they hash-aggregate natively. Edges inner-join the rank table:
+    // an endpoint absent from `vertices` was already inert in the
+    // propagation (its rows died in the labels join), so dropping it
+    // up front is the same fixed point.
+    // (2) The symmetric edge table is LOOP-INVARIANT but the widest
+    // frame in every round's join: pre-partition + pre-sort it by the
+    // join key ONCE before the cut (localCheckpoint preserves both),
+    // so the scale regime's per-round sort-merge join re-sorts only
+    // the small labels side (guide §2.4 "share one exchange" across
+    // the driver-controlled loop). Partition count = the session's
+    // shuffle setting, the same deployment knob every other exchange
+    // uses.
     val parts = spark.sessionState.conf.numShufflePartitions
-    val sym = cut.cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val encode = encodeIds && vertices.schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    val ranked = if (encode) {
+      cut.cut(graft.plans.GlobalRank.withGlobalRowNumber(
+        vertices.select(col("entity_id")), "__rid",
+        Seq(col("entity_id")), parts))
+    } else null
+    val (v2, e2) =
+      if (encode) {
+        val rSrc = ranked.select(col("entity_id").as("src"),
+          col("__rid").as("__rid_src"))
+        val rDst = ranked.select(col("entity_id").as("dst"),
+          col("__rid").as("__rid_dst"))
+        (ranked.select(col("__rid").as("entity_id")),
+          edges.select(col("src"), col("dst"))
+            .join(rSrc, "src").join(rDst, "dst")
+            .select(col("__rid_src").as("src"), col("__rid_dst").as("dst")))
+      } else (vertices, edges)
+
+    val sym = cut.cut(e2.select(col("src"), col("dst"))
+      .union(e2.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("dst"))
       .sortWithinPartitions(col("dst")))
 
-    var labels = cut.cut(vertices
+    var labels = cut.cut(v2
       .select(col("entity_id"), col("entity_id").as("canonical_id")))
     var converged = false
     var iter = 0
@@ -315,7 +349,20 @@ object Canonicalize {
           "a graph far beyond the cap (2^" + maxIter + " diameter) or " +
           "a non-deterministic edge input; refusing to return partial " +
           "labels.")
-    (labels, iter)
+    // decode ranks back to the original string ids (two joins against
+    // the one-time rank table; rank order == string order, so the
+    // decoded labels are exactly the min-string-id fixed point)
+    val out =
+      if (encode)
+        labels
+          .join(ranked.select(col("__rid").as("entity_id"),
+            col("entity_id").as("__eid")), "entity_id")
+          .join(ranked.select(col("__rid").as("canonical_id"),
+            col("entity_id").as("__cid")), "canonical_id")
+          .select(col("__eid").as("entity_id"),
+            col("__cid").as("canonical_id"))
+      else labels
+    (out, iter)
   }
 
   /** Adaptive small-input cutoff: below this many candidate edges the

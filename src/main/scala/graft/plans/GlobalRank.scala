@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * non-starter at 100 TB. The scalable equivalent is the classic two-pass
   * scheme: range-repartition by the sort key, rank/scan locally per
   * partition, then add per-partition offsets computed from a tiny
-  * driver-side aggregate (numPartitions rows, not data rows).
+  * aggregate (numPartitions rows, not data rows) — kept inside the
+  * query plan as a broadcast join since round 6 rather than a separate
+  * driver collect job per call.
   *
   * Requires the sort key to be a total order (unique) — equal keys could
   * otherwise straddle a range boundary nondeterministically.
@@ -58,29 +60,39 @@ object GlobalRank {
         sum(expr.cast("long")).over(cumFrame))
     }
 
-    // per-partition totals -> cumulative offsets (tiny driver pass)
+    // Per-partition totals -> cumulative EXCLUSIVE offsets, kept inside
+    // the query plan (round 6): the former totals.collect() was a
+    // separate driver job per GlobalRank call — a query calling this
+    // twice paid two extra scheduling round-trips before its real
+    // action even started. The offsets are now a numPartitions-row
+    // aggregate (the exact frame the old code collected — driver-sized
+    // BY CONSTRUCTION) cumulated with an explicitly broadcast-hinted
+    // triangular join (sum of all strictly-smaller pids' totals; the
+    // hint is the PlanGuard contract for every deliberate BNLJ) and
+    // broadcast-joined back onto the local ranks — one plan, no
+    // separate job, no driver round-trip.
     val aggCols = count(lit(1)).as("__n") +:
       cum.toSeq.map { case (_, expr) =>
         sum(expr.cast("long")).as("__s")
       }
     val totals = ranged.groupBy(col(pid)).agg(aggCols.head, aggCols.tail: _*)
-      .collect().map { r =>
-        (r.getInt(0), r.getLong(1), if (cum.isDefined) r.getLong(2) else 0L)
-      }.sortBy(_._1)
-    def offsetMap(values: Array[Long], pids: Array[Int]): Map[Int, Long] =
-      pids.zip(values.scanLeft(0L)(_ + _).init).toMap
-    val pids = totals.map(_._1)
-    val rnOffsets = offsetMap(totals.map(_._2), pids)
-    def offsetExpr(m: Map[Int, Long]): Column =
-      coalesce(try_element_at(typedlit(m), col(pid)), lit(0L))
+    val offAggs = sum(col(s"b.__n")).as("__rn_off") +:
+      cum.toSeq.map { _ => sum(col(s"b.__s")).as("__cum_off") }
+    val offsets = totals.alias("a")
+      .join(broadcast(totals.alias("b")),
+        col(s"b.$pid") < col(s"a.$pid"), "left")
+      .groupBy(col(s"a.$pid").as(pid))
+      .agg(offAggs.head, offAggs.tail: _*)
 
-    var out = local.withColumn(rnCol,
-      (col(rnCol + "__l") + offsetExpr(rnOffsets)).cast("long"))
-      .drop(rnCol + "__l")
+    var out = local.join(broadcast(offsets), pid)
+      .withColumn(rnCol,
+        (col(rnCol + "__l") + coalesce(col("__rn_off"), lit(0L)))
+          .cast("long"))
+      .drop(rnCol + "__l", "__rn_off")
     cum.foreach { case (c, _) =>
-      val cumOffsets = offsetMap(totals.map(_._3), pids)
-      out = out.withColumn(c, col(c + "__l") + offsetExpr(cumOffsets))
-        .drop(c + "__l")
+      out = out.withColumn(c,
+        col(c + "__l") + coalesce(col("__cum_off"), lit(0L)))
+        .drop(c + "__l", "__cum_off")
     }
     out.drop(pid)
   }
