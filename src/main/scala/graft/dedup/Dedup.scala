@@ -200,14 +200,25 @@ object Dedup {
       inlineMaxPostings: Long = JaccardInlineMaxPostings,
       inlineMaxDocs: Long = JaccardInlineMaxDocs): DataFrame = {
     val (docs, prefixes) = jaccardPrefixes(df, id, setCol, threshold, cut)
-    // cheap parallel counts: both frames are eagerly materialized by
-    // `cut` (every LineageCut strategy is eager), so count-then-collect
-    // cannot observe two different source evaluations
-    if (graft.functions.IntersectSets.supportedKey(
-          docs.schema.head.dataType) &&
-        docs.count() <= inlineMaxDocs &&
+    // Round 6: the doc-side probe and the inline path's driver collect
+    // are ONE bounded job — limit(maxDocs + 1).collect() both proves
+    // the table is driver-small AND hands over the rows the in-plan
+    // set table is built from (the former separate docs.count() was a
+    // whole extra scheduling round-trip per query). The frame is
+    // eagerly materialized by `cut`, so the bounded collect cannot
+    // observe a second source evaluation; above the cutoff the
+    // (bounded, discarded) rows cost one driver round-trip — the same
+    // probe-once pattern canonicalMapDf uses.
+    val docRows =
+      if (graft.functions.IntersectSets.supportedKey(
+            docs.schema.head.dataType))
+        docs.limit(
+          (math.min(inlineMaxDocs, Int.MaxValue.toLong - 1) + 1).toInt)
+          .collect()
+      else null
+    if (docRows != null && docRows.length <= inlineMaxDocs &&
         prefixes.count() <= inlineMaxPostings)
-      jaccardPairsInline(docs, prefixes, id, threshold)
+      jaccardPairsInline(docRows, prefixes, id, threshold)
     else
       jaccardVerify(docs, candidatePairs(prefixes, id, threshold),
         id, threshold)
@@ -374,10 +385,9 @@ object Dedup {
     * gram) collapse in the final aggregation.
     */
   private def jaccardPairsInline(
-      docs: DataFrame, prefixes: DataFrame, id: String,
-      threshold: Double): DataFrame = {
-    val sets = graft.functions.IntersectSets.fromRows(
-      docs.select(col(id), col("sh")).collect())
+      docRows: Array[org.apache.spark.sql.Row], prefixes: DataFrame,
+      id: String, threshold: Double): DataFrame = {
+    val sets = graft.functions.IntersectSets.fromRows(docRows)
     val rowOverlapBound =
       ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n"))
         - lit(1e-9) * (col("a.n") + col("b.n")))
