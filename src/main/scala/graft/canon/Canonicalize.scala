@@ -321,23 +321,44 @@ object Canonicalize {
         .join(labels, sym("dst") === labels("entity_id"))
         .groupBy(sym("src").as("entity_id"))
         .agg(min(col("canonical_id")).as("__nbr_min"))
+      // the round's OLD label rides along so the convergence check can
+      // be OBSERVED during the cut's own materialization instead of
+      // scheduling a separate compare-join job per round (round 6; the
+      // projection above the observe drops it before the checkpoint)
       val propagated = labels
         .join(neighborMin, Seq("entity_id"), "left")
-        .select(col("entity_id"),
+        .select(col("entity_id"), col("canonical_id").as("__old"),
           least(col("canonical_id"), col("__nbr_min")).as("canonical_id"))
       // (B) shortcut: l''(v) = l'(l'(v)) — one self-join on the label;
       // left + coalesce keeps dangling labels (an edge endpoint missing
       // from `vertices`) fixed instead of dropping the row
       val lookup = propagated.select(
         col("entity_id").as("__lid"), col("canonical_id").as("__lcan"))
+      val obs = org.apache.spark.sql.Observation()
       val next = cut.cut(propagated.alias("p")
         .join(lookup, col("p.canonical_id") === col("__lid"), "left")
         .select(col("p.entity_id"),
-          coalesce(col("__lcan"), col("p.canonical_id")).as("canonical_id")))
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("entity_id"))
-        .filter(col("n.canonical_id") =!= col("o.canonical_id"))
-        .limit(1).count()
+          coalesce(col("__lcan"), col("p.canonical_id")).as("canonical_id"),
+          col("p.__old"))
+        .observe(obs, coalesce(sum(when(
+            col("canonical_id") =!= col("__old"), 1L)), lit(0L))
+          .cast("long").as("chg"))
+        .select(col("entity_id"), col("canonical_id")))
+      // async listener delivery; fall back to the compare join if the
+      // cut strategy's action did not surface the metric (correct
+      // under any strategy — only slower)
+      val changed = {
+        var i = 0
+        while (obs.future.value.isEmpty && i < 40) { Thread.sleep(25); i += 1 }
+        obs.future.value match {
+          case Some(scala.util.Success(row)) if !row.isNullAt(0) =>
+            row.getLong(0)
+          case _ => next.alias("n")
+            .join(labels.alias("o"), Seq("entity_id"))
+            .filter(col("n.canonical_id") =!= col("o.canonical_id"))
+            .limit(1).count()
+        }
+      }
       labels = next
       converged = changed == 0
       iter += 1

@@ -199,7 +199,8 @@ object Dedup {
       cut: graft.plans.LineageCut = graft.plans.LineageCut.Default,
       inlineMaxPostings: Long = JaccardInlineMaxPostings,
       inlineMaxDocs: Long = JaccardInlineMaxDocs): DataFrame = {
-    val (docs, prefixes) = jaccardPrefixes(df, id, setCol, threshold, cut)
+    val (docs, prefixes, prefixCount) =
+      jaccardPrefixes(df, id, setCol, threshold, cut)
     // Round 6: the doc-side probe and the inline path's driver collect
     // are ONE bounded job — limit(maxDocs + 1).collect() both proves
     // the table is driver-small AND hands over the rows the in-plan
@@ -208,7 +209,8 @@ object Dedup {
     // eagerly materialized by `cut`, so the bounded collect cannot
     // observe a second source evaluation; above the cutoff the
     // (bounded, discarded) rows cost one driver round-trip — the same
-    // probe-once pattern canonicalMapDf uses.
+    // probe-once pattern canonicalMapDf uses. The prefix-side probe
+    // rides the cut itself (ObservedCount) — no separate job either.
     val docRows =
       if (graft.functions.IntersectSets.supportedKey(
             docs.schema.head.dataType))
@@ -217,7 +219,7 @@ object Dedup {
           .collect()
       else null
     if (docRows != null && docRows.length <= inlineMaxDocs &&
-        prefixes.count() <= inlineMaxPostings)
+        prefixCount() <= inlineMaxPostings)
       jaccardPairsInline(docRows, prefixes, id, threshold)
     else
       jaccardVerify(docs, candidatePairs(prefixes, id, threshold),
@@ -242,7 +244,7 @@ object Dedup {
     // and its definition (distinct pairs surviving the length +
     // positional filters) must not move when the query's physical plan
     // does. The verified count is plan-independent (exact).
-    val (docs, prefixes) = jaccardPrefixes(
+    val (docs, prefixes, _) = jaccardPrefixes(
       graft.plans.Spread.ensure(df, col(id))
         .select(col(id), shingles(col(text), shingleN).as("__sh")),
       id, "__sh", threshold, cut)
@@ -251,13 +253,14 @@ object Dedup {
   }
 
   /** shared stages 1-3 (see [[jaccardPairs]]): returns the materialized
-    * sorted-set doc table (id, sh, n implied by size) and the
-    * materialized prefix-posting table (id, n, pos, g).
+    * sorted-set doc table (id, sh, n implied by size), the materialized
+    * prefix-posting table (id, n, pos, g), and the posting count
+    * (delivered by the cut's own materialization — ObservedCount).
     */
   private def jaccardPrefixes(
       df: DataFrame, id: String, setCol: String,
       threshold: Double,
-      cut: graft.plans.LineageCut): (DataFrame, DataFrame) = {
+      cut: graft.plans.LineageCut): (DataFrame, DataFrame, () => Long) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // shingle arrays stored SORTED: one sort per document buys the
@@ -303,13 +306,14 @@ object Dedup {
     // explicit count is exempt from AQE coalescing; n = the session's
     // shuffle-partition setting, so it scales with the deployment
     // rather than any local constant.
-    val prefixes = cut.cut(
+    val (prefixes, prefixCount) = graft.plans.ObservedCount.attach(
       ordered.select(col(id), col("n_sh").cast("int").as("n"),
         posexplode(slice(col("ord.g"), lit(1), prefixLen))
           .as(Seq("pos0", "g")))
       .select(col(id), col("n"), (col("pos0") + 1).as("pos"), col("g"))
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
-    (docs, prefixes)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions),
+      cut)
+    (docs, prefixes, prefixCount)
   }
 
   /** stages 4-5 of the STAGED plan (see [[jaccardPairs]]): prefix
