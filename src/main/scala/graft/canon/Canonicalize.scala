@@ -461,9 +461,11 @@ object Canonicalize {
       cut: graft.plans.LineageCut): (DataFrame, String) = {
     import spark.implicits._
     val ids = entitySurfaces.select(col("entity_id"))
-    val edges = cut.cut(
-      candidateEdges(spark, entitySurfaces, jaccardThreshold, cut))
-    if (edges.count() <= LocalComponentsMaxEdges) {
+    // the edge-count dispatch rides the edge frame's own cut
+    // (ObservedCount) instead of a separate count job
+    val (edges, edgeCount) = graft.plans.ObservedCount.attach(
+      candidateEdges(spark, entitySurfaces, jaccardThreshold, cut), cut)
+    if (edgeCount() <= LocalComponentsMaxEdges) {
       val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
       val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
       val compDf = localUnionFind(touched, pairs.toSeq).toSeq

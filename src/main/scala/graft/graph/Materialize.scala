@@ -37,16 +37,22 @@ object Materialize {
       spark: SparkSession,
       triples: Dataset[Triple],
       canonicalMap: DataFrame,
-      maxBroadcastEntities: Long = RelabelBroadcastMaxEntities)
+      maxBroadcastEntities: Long = RelabelBroadcastMaxEntities,
+      /** pass the map's size when the caller already knows it (e.g.
+        * observed during the map's lineage cut) to skip the probe job
+        * entirely (r5 ADVICE)
+        */
+      knownMapSize: Option[Long] = None)
       : Dataset[Triple] = {
     import spark.implicits._
     // plain parallel count, NOT limit(knob+1).count(): the limit probe
     // planned LocalLimit -> single-partition GlobalLimit, funnelling up
     // to knob rows through ONE task before the relabel joins even
     // started (r5 ADVICE). Callers hand in a lineage-cut map, so the
-    // count is a cheap fully-parallel job over the checkpointed frame.
+    // count is a cheap fully-parallel job over the checkpointed frame —
+    // and is skipped outright when the size is already known.
     val useBroadcast = maxBroadcastEntities > 0 &&
-      canonicalMap.count() <= maxBroadcastEntities
+      knownMapSize.getOrElse(canonicalMap.count()) <= maxBroadcastEntities
     def hinted(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     val subjMap = canonicalMap.select(

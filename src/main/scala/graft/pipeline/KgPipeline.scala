@@ -209,7 +209,14 @@ object KgPipeline {
     // stats, complementing the in-task accumulator metrics above
     val tripleObs = new org.apache.spark.sql.Observation()
     val relabeled = stage("triples_canonical", Seq("triples", "canonical_map")) {
-      Materialize.relabel(spark, rawTriples, canonMap).toDF()
+      // closed path: the canonical map has exactly one row per entity
+      // (every entry point maps every id), so the relabel broadcast
+      // probe is free; a caller-supplied entity TABLE has unknown
+      // cardinality and keeps the parallel count probe
+      Materialize.relabel(spark, rawTriples, canonMap,
+        knownMapSize =
+          if (entitySurfacesDf.isEmpty) Some(entities.size.toLong)
+          else None).toDF()
     }.as[Triple]
       .observe(tripleObs, count(lit(1)).as("triples"),
         min(col("score")).as("min_score"), avg(col("score")).as("avg_score"))
@@ -355,12 +362,25 @@ object KgPipeline {
         array($"surface").as("surfaces"))
     val canonRes = Canonicalize.canonicalMapDfTracked(spark,
       closedSurf.unionByName(openSurf), jaccardThreshold, cut = cut)
-    // the map is consumed twice by relabel (+ once by its size probe);
-    // on the local path it is already an in-memory LocalRelation
-    val canonMap =
-      if (canonRes.path == "local") canonRes.map else cut.cut(canonRes.map)
+    // the map is consumed twice by relabel; on the local path it is
+    // already an in-memory LocalRelation (size known from the plan),
+    // and on the distributed paths the size is OBSERVED during the
+    // map's own cut — relabel never schedules a separate probe job
+    val (canonMap, mapSize) =
+      if (canonRes.path == "local")
+        (canonRes.map,
+          Some(canonRes.map.queryExecution.optimizedPlan match {
+            case lr: org.apache.spark.sql.catalyst.plans.logical
+                .LocalRelation => lr.data.length.toLong
+            case _ => -1L
+          }).filter(_ >= 0))
+      else {
+        val (m, n) = graft.plans.ObservedCount.attach(canonRes.map, cut)
+        (m, Some(n()))
+      }
     OpenResult(
-      Materialize.relabel(spark, rawTriples, canonMap, relabelBroadcastMax),
+      Materialize.relabel(spark, rawTriples, canonMap, relabelBroadcastMax,
+        knownMapSize = mapSize),
       canonMap,
       openSurf.select($"entity_id"),
       canonRes.path)
