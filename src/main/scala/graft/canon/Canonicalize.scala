@@ -574,8 +574,14 @@ object Canonicalize {
       CanonResult(localAllPairsMap(rows, jaccardThreshold).toSeq
         .toDF("entity_id", "canonical_id"), "local")
     } else {
-      val (map, path) =
-        distributedCanonicalMap(spark, entitySurfaces, jaccardThreshold, cut)
+      // cut the entity table ONCE before the distributed branch fans
+      // out (round 6): its lineage — for the open pipeline, a full
+      // corpus scan + distinct — was otherwise re-executed by every
+      // consumer (the gram/doc cut, the CC vertex ranking, the final
+      // id join). The local branch deliberately stays cut-free: its
+      // bounded probe collect is the only execution it needs.
+      val (map, path) = distributedCanonicalMap(spark,
+        cut.cut(entitySurfaces), jaccardThreshold, cut)
       CanonResult(map, path)
     }
   }
