@@ -523,9 +523,14 @@ object Canonicalize {
     * corpus-derived synset/cluster sets of
     * word_sense_pipeline.py:241-252 are built from data, not a fixed
     * vocabulary). CONTRACT: `entity_id` is unique (the open pipeline
-    * builds it from `distinct` surfaces); duplicate ids are undefined
-    * behavior — the local path last-write-wins through a Map while the
-    * distributed path would emit duplicate rows. The driver-local fast
+    * builds it from `distinct` surfaces). The LOCAL path FAILS FAST on
+    * duplicate ids (the probe rows are already in hand, so the check is
+    * free — VERDICT r5 #5: silently last-write-winning through a Map
+    * diverged from the distributed path, which emits duplicate rows and
+    * keeps the documented undefined-behavior contract: a distributed
+    * uniqueness pass would cost a corpus-scale shuffle per call to
+    * police a precondition the producing pipeline enforces by
+    * construction). The driver-local fast
     * path is keyed off ONE bounded
     * `limit(localMaxEntities + 1)` collect (short-circuiting job, the
     * DataFrame analogue of `Seq.size`; the collected rows ARE the local
@@ -571,6 +576,19 @@ object Canonicalize {
       val rows = probeRows
         .map(r => (r.getString(0), r.getSeq[String](1)))
         .toSeq
+      // fail fast on duplicate ids (VERDICT r5 #5): the rows are in
+      // hand, so this costs one driver pass; without it the shingle
+      // Map in localAllPairsMap silently last-write-wins while the
+      // distributed path emits duplicate rows — divergent results for
+      // the same (invalid) input
+      val dups = rows.iterator.map(_._1)
+        .foldLeft(Map.empty[String, Int]) { (m, k) =>
+          m.updated(k, m.getOrElse(k, 0) + 1)
+        }.filter(_._2 > 1).keys.toSeq.sorted
+      require(dups.isEmpty,
+        s"canonicalMapDf: duplicate entity_id values in the input " +
+          s"(contract: unique ids); first ${math.min(dups.size, 5)} of " +
+          s"${dups.size}: ${dups.take(5).mkString(", ")}")
       CanonResult(localAllPairsMap(rows, jaccardThreshold).toSeq
         .toDF("entity_id", "canonical_id"), "local")
     } else {

@@ -126,4 +126,25 @@ class CanonComponentsSpec extends AnyFunSuite {
         .delete(p, true)
     }
   }
+
+  test("canonicalMapDf local path fails fast on duplicate entity_id " +
+    "(VERDICT r5 #5: silent last-write-wins diverged from the " +
+    "distributed path's duplicate rows)") {
+    import spark.implicits._
+    val dup = Seq(
+      ("e1", Seq("streamer")), ("e2", Seq("unrelatedword")),
+      ("e1", Seq("streamers")))
+      .toDF("entity_id", "surfaces")
+    val ex = intercept[IllegalArgumentException] {
+      Canonicalize.canonicalMapDf(spark, dup, 0.5)
+    }
+    assert(ex.getMessage.contains("duplicate entity_id"))
+    assert(ex.getMessage.contains("e1"))
+    // unique ids keep working on the same shape
+    val ok = Canonicalize.canonicalMapDf(spark,
+        Seq(("e1", Seq("streamer")), ("e2", Seq("streamers")))
+          .toDF("entity_id", "surfaces"), 0.5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ok == Map("e1" -> "e1", "e2" -> "e1"))
+  }
 }
